@@ -1,0 +1,98 @@
+"""Dice loss / metrics and BraTS label↔region mapping.
+
+The reference computes a smoothed soft Dice loss per channel and reports the
+Dice coefficient for the three nested BraTS regions — whole tumor (WT),
+tumor core (TC), enhancing tumor (ET) — and remaps region probabilities back
+to BraTS labels {0, 1, 2, 4} for submission-format output (SURVEY.md §2
+"Loss/metrics/utils", "Sliding-window predictor").
+
+BraTS label semantics:
+    0 = background, 1 = necrotic/non-enhancing core (NCR/NET),
+    2 = peritumoral edema (ED), 4 = GD-enhancing tumor (ET).
+Regions (nested):
+    WT = {1, 2, 4},  TC = {1, 4},  ET = {4}.
+
+All reductions here accumulate in float32 regardless of input dtype so that
+bf16 training still gets stable loss values.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+# Channel order for region-mode labels/predictions.
+REGIONS = ("WT", "TC", "ET")
+SMOOTH = 1.0
+
+
+def labels_to_regions(labels: jnp.ndarray) -> jnp.ndarray:
+    """BraTS label volume (..., ) int → region one-hot (..., 3) float32.
+
+    Channels follow REGIONS order: WT, TC, ET.
+    """
+    wt = (labels > 0).astype(jnp.float32)
+    tc = ((labels == 1) | (labels == 4)).astype(jnp.float32)
+    et = (labels == 4).astype(jnp.float32)
+    return jnp.stack([wt, tc, et], axis=-1)
+
+
+def regions_to_labels(region_probs: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
+    """Region probabilities (..., 3) → BraTS labels {0,1,2,4} (uint8).
+
+    Nested decoding: a voxel is ET(4) if the ET channel fires; else core(1)
+    if TC fires; else edema(2) if WT fires; else background.  Matches the
+    reference's remap step (SURVEY.md §3.4).
+    """
+    wt = region_probs[..., 0] > threshold
+    tc = region_probs[..., 1] > threshold
+    et = region_probs[..., 2] > threshold
+    out = jnp.where(et, 4, jnp.where(tc & wt, 1, jnp.where(wt, 2, 0)))
+    return out.astype(jnp.uint8)
+
+
+def _flatten_spatial(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, D, H, W, C) → (B, V, C) in float32."""
+    b, c = x.shape[0], x.shape[-1]
+    return x.astype(jnp.float32).reshape(b, -1, c)
+
+
+def soft_dice_loss(probs: jnp.ndarray, targets: jnp.ndarray, smooth: float = SMOOTH) -> jnp.ndarray:
+    """Smoothed soft Dice loss, mean over batch and channels.
+
+    probs/targets: (B, D, H, W, C) with probs already in [0, 1].
+    loss = 1 - (2·Σpy + s) / (Σp + Σy + s), summed over voxels per (b, c).
+    """
+    p = _flatten_spatial(probs)
+    y = _flatten_spatial(targets)
+    inter = jnp.sum(p * y, axis=1)
+    denom = jnp.sum(p, axis=1) + jnp.sum(y, axis=1)
+    dice = (2.0 * inter + smooth) / (denom + smooth)
+    return jnp.mean(1.0 - dice)
+
+
+def dice_ce_loss(logits: jnp.ndarray, targets: jnp.ndarray, smooth: float = SMOOTH) -> jnp.ndarray:
+    """Dice + cross-entropy on sigmoid region logits (SURVEY.md §2 "Derived trainer").
+
+    Region channels are independent (nested regions), so CE is per-channel
+    binary cross-entropy with logits; Dice is computed on sigmoid probs.
+    """
+    logits32 = logits.astype(jnp.float32)
+    dice = soft_dice_loss(jax.nn.sigmoid(logits32), targets, smooth)
+    bce = jnp.mean(optax.sigmoid_binary_cross_entropy(logits32, targets.astype(jnp.float32)))
+    return dice + bce
+
+
+def region_dice(pred_regions: jnp.ndarray, true_regions: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Hard Dice coefficient per region channel.
+
+    pred/true: (..., 3) binary {0,1} region masks (any leading dims).
+    Returns (3,) float32 — Dice for WT, TC, ET.  When both masks are empty
+    the score is 1.0 (the convention BraTS evaluation uses for absent ET).
+    """
+    p = pred_regions.astype(jnp.float32).reshape(-1, pred_regions.shape[-1])
+    y = true_regions.astype(jnp.float32).reshape(-1, true_regions.shape[-1])
+    inter = jnp.sum(p * y, axis=0)
+    denom = jnp.sum(p, axis=0) + jnp.sum(y, axis=0)
+    return jnp.where(denom > 0, 2.0 * inter / (denom + eps), 1.0)

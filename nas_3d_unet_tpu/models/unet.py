@@ -1,0 +1,166 @@
+"""U-shaped supernet and derived network.
+
+Reference topology (SURVEY.md §2 "Supernet", §3.5): stem conv → L down cells
+→ L up cells with encoder-decoder skip connections → 1³ head conv → region
+logits.  α is shared across cells of the same kind.
+
+TPU-first choices:
+  * channels-last (B, D, H, W, C); activations in `dtype` (bf16 by default
+    for training), params and head logits in fp32.
+  * per-cell `nn.remat` bounds supernet memory (every candidate op executes
+    on every edge — SURVEY.md §7 hard-part 2).
+  * channel plan: node channels double per level (c·2^l); cell output is
+    N·c_l, so spatial shrink ×8 vs channel growth ×2 keeps FLOPs pyramidal
+    and MXU-tiles full at depth.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.primitives import ConvNormAct
+from .cell import DerivedDownCell, DerivedUpCell, SuperDownCell, SuperUpCell
+from .genotype import Genotype
+
+Array = jax.Array
+
+
+def _dtype_of(name: str) -> jnp.dtype:
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[name]
+
+
+class _UNetBase(nn.Module):
+    in_channels: int = 4
+    num_classes: int = 3
+    base_channels: int = 16
+    depth: int = 3
+    n_nodes: int = 3
+    norm: str = "group"
+    gn_groups: int = 8
+    dtype_name: str = "float32"
+    remat: bool = True
+
+    @property
+    def compute_dtype(self) -> jnp.dtype:
+        return _dtype_of(self.dtype_name)
+
+    def _remat(self, cls):
+        # Always wrap in nn.remat so the param tree is independent of the
+        # remat flag (checkpoints stay loadable); remat=False keeps all
+        # residuals via policy, making the wrapper a memory no-op.
+        policy = None if self.remat else jax.checkpoint_policies.everything_saveable
+        return nn.remat(cls, policy=policy)
+
+    def _stem(self, x: Array) -> Array:
+        return ConvNormAct(self.n_nodes * self.base_channels, 3, 1, 1, 1,
+                           self.norm, self.gn_groups, self.compute_dtype)(x)
+
+    def _head(self, x: Array) -> Array:
+        # head in fp32: logits feed the fp32 loss / stitching paths
+        x = x.astype(jnp.float32)
+        return nn.Conv(self.num_classes, (1, 1, 1), padding="SAME",
+                       dtype=jnp.float32, param_dtype=jnp.float32)(x)
+
+    def _cell_kwargs(self, level: int) -> Dict[str, Any]:
+        return dict(
+            features=self.base_channels * (2 ** level),
+            n_nodes=self.n_nodes,
+            norm=self.norm,
+            gn_groups=self.gn_groups,
+            dtype=self.compute_dtype,
+        )
+
+
+class SuperNet(_UNetBase):
+    """DARTS supernet: forward takes architecture weights (softmaxed α)."""
+
+    @nn.compact
+    def __call__(self, x: Array, arch_weights: Dict[str, Array]) -> Array:
+        w = arch_weights
+        x = x.astype(self.compute_dtype)
+        stem = self._stem(x)
+
+        Down = self._remat(SuperDownCell)
+        Up = self._remat(SuperUpCell)
+
+        feats = [stem]
+        s_pp, s_p = stem, stem
+        for level in range(1, self.depth + 1):
+            out = Down(**self._cell_kwargs(level))(s_pp, s_p, w["down_in"], w["down_mid"])
+            s_pp, s_p = s_p, out
+            feats.append(out)
+
+        below = feats[-1]
+        for level in range(self.depth - 1, -1, -1):
+            below = Up(**self._cell_kwargs(level))(
+                feats[level], below, w["up_skip"], w["up_below"], w["up_mid"])
+
+        return self._head(below)
+
+
+class DerivedNet(_UNetBase):
+    """Fixed-architecture network rebuilt from a genotype (SURVEY.md §2
+    "Derived net"): same U-shape, each MixedOp replaced by its chosen op."""
+
+    genotype: Genotype = None  # required
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        g = self.genotype
+        x = x.astype(self.compute_dtype)
+        stem = self._stem(x)
+
+        Down = self._remat(DerivedDownCell)
+        Up = self._remat(DerivedUpCell)
+
+        feats = [stem]
+        s_pp, s_p = stem, stem
+        for level in range(1, self.depth + 1):
+            out = Down(gene=g.down, **self._cell_kwargs(level))(s_pp, s_p)
+            s_pp, s_p = s_p, out
+            feats.append(out)
+
+        below = feats[-1]
+        for level in range(self.depth - 1, -1, -1):
+            below = Up(gene=g.up, **self._cell_kwargs(level))(feats[level], below)
+
+        return self._head(below)
+
+
+def arch_weights_from_alphas(alphas: Dict[str, Array]) -> Dict[str, Array]:
+    """softmax over the op axis of every α tensor (fp32)."""
+    return {k: jax.nn.softmax(v.astype(jnp.float32), axis=-1) for k, v in alphas.items()}
+
+
+def make_supernet(model_cfg, num_classes: int) -> SuperNet:
+    return SuperNet(
+        in_channels=model_cfg.in_channels,
+        num_classes=num_classes,
+        base_channels=model_cfg.base_channels,
+        depth=model_cfg.depth,
+        n_nodes=model_cfg.n_nodes,
+        norm=model_cfg.norm,
+        gn_groups=model_cfg.gn_groups,
+        dtype_name=model_cfg.dtype,
+        remat=model_cfg.remat,
+    )
+
+
+def make_derived(model_cfg, num_classes: int, genotype: Genotype,
+                 dtype_override: str | None = None) -> DerivedNet:
+    return DerivedNet(
+        genotype=genotype,
+        in_channels=model_cfg.in_channels,
+        num_classes=num_classes,
+        base_channels=model_cfg.base_channels,
+        depth=model_cfg.depth,
+        n_nodes=model_cfg.n_nodes,
+        norm=model_cfg.norm,
+        gn_groups=model_cfg.gn_groups,
+        dtype_name=dtype_override or model_cfg.dtype,
+        remat=model_cfg.remat,
+    )

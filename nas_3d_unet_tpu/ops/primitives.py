@@ -1,0 +1,259 @@
+"""Candidate primitive ops for NAS edges.
+
+The reference keeps an ``OPS`` registry mapping op names to torch ``nn.Module``
+factories: identity/none, 3³ conv, dilated conv, depthwise-separable conv,
+avg/max pool, with stride-2 "down" variants and transpose-conv/upsample "up"
+variants, each wrapped with norm + activation (SURVEY.md §2 "Primitive ops").
+
+TPU-first decisions (not a translation):
+  * Layout is channels-last (B, D, H, W, C) — the lane dimension is C, which
+    XLA tiles onto the 128-wide MXU/VPU lanes directly.
+  * Norm is GroupNorm (stateless under jit; BatchNorm's running stats are
+    hostile to a single compiled training graph and to GSPMD).  Order is
+    conv → norm → act.
+  * Transpose conv uses kernel 2, stride 2: exact 2× upsampling with no
+    output-window overlap, which lowers to one matmul + depth-to-space — the
+    MXU-friendliest deconv form (also the basis of the Pallas kernel).
+  * All ops preserve the channel count C; cells pre-project inputs to C with
+    1³ convs, so `identity`/`none`/pool edges need no channel adapters.
+
+Three op sets (SURVEY.md §2 cell/ops rows):
+  NORMAL_OPS — stride-1 edges inside a cell,
+  DOWN_OPS   — stride-2 edges from a down-cell's inputs (encoder),
+  UP_OPS     — 2× upsampling edges from an up-cell's below-input (decoder).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+def _norm(kind: str, gn_groups: int, dtype) -> Callable[[], nn.Module]:
+    if kind == "group":
+        def make(c):
+            return nn.GroupNorm(num_groups=_gn_groups_for(c, gn_groups), dtype=dtype,
+                                param_dtype=jnp.float32)
+        return make
+    if kind == "instance":
+        # InstanceNorm == GroupNorm with one group per channel
+        def make(c):
+            return nn.GroupNorm(num_groups=c, dtype=dtype, param_dtype=jnp.float32)
+        return make
+    if kind == "none":
+        def make(c):
+            return lambda x: x
+        return make
+    raise ValueError(f"unknown norm {kind!r}")
+
+
+def _gn_groups_for(channels: int, groups: int) -> int:
+    g = min(groups, channels)
+    while channels % g != 0:
+        g -= 1
+    return g
+
+
+class ConvNormAct(nn.Module):
+    """conv3d → GroupNorm → ReLU.  The basic building block of every conv op."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    norm: str = "group"
+    gn_groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel,) * 3,
+            strides=(self.stride,) * 3,
+            kernel_dilation=(self.dilation,) * 3,
+            feature_group_count=self.groups,
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        x = _norm(self.norm, self.gn_groups, self.dtype)(self.features)(x)
+        if self.act:
+            x = nn.relu(x)
+        return x
+
+
+class SepConv(nn.Module):
+    """Depthwise 3³ conv + pointwise 1³ conv (depthwise-separable)."""
+
+    features: int
+    stride: int = 1
+    norm: str = "group"
+    gn_groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c_in = x.shape[-1]
+        x = nn.Conv(
+            c_in,
+            kernel_size=(3, 3, 3),
+            strides=(self.stride,) * 3,
+            feature_group_count=c_in,
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        x = nn.Conv(
+            self.features,
+            kernel_size=(1, 1, 1),
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        x = _norm(self.norm, self.gn_groups, self.dtype)(self.features)(x)
+        return nn.relu(x)
+
+
+class Zero(nn.Module):
+    """The `none` op: zeros with the correct (possibly strided) output shape."""
+
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        if self.stride == 1:
+            return jnp.zeros_like(x)
+        s = self.stride
+        return jnp.zeros_like(x[:, ::s, ::s, ::s, :])
+
+
+class Identity(nn.Module):
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return x
+
+
+class Pool(nn.Module):
+    """3³ avg/max pool, SAME padding, stride 1 (normal) or 2 (down)."""
+
+    kind: str  # "avg" | "max"
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        win = (1, 3, 3, 3, 1)
+        strides = (1, self.stride, self.stride, self.stride, 1)
+        if self.kind == "avg":
+            return nn.avg_pool(x, win[1:4], strides=strides[1:4], padding="SAME",
+                               count_include_pad=False)
+        return nn.max_pool(x, win[1:4], strides=strides[1:4], padding="SAME")
+
+
+class UpTranspose(nn.Module):
+    """2× transpose conv (kernel 2, stride 2) → norm → ReLU."""
+
+    features: int
+    norm: str = "group"
+    gn_groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.ConvTranspose(
+            self.features,
+            kernel_size=(2, 2, 2),
+            strides=(2, 2, 2),
+            padding="VALID",
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        x = _norm(self.norm, self.gn_groups, self.dtype)(self.features)(x)
+        return nn.relu(x)
+
+
+class UpSampleConv(nn.Module):
+    """Trilinear 2× upsample, then a conv op (full or depthwise-separable)."""
+
+    features: int
+    separable: bool = False
+    norm: str = "group"
+    gn_groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, d, h, w, c = x.shape
+        x = jax.image.resize(x, (b, 2 * d, 2 * h, 2 * w, c), method="trilinear")
+        if self.separable:
+            return SepConv(self.features, 1, self.norm, self.gn_groups, self.dtype)(x)
+        return ConvNormAct(self.features, 3, 1, 1, 1, self.norm, self.gn_groups, self.dtype)(x)
+
+
+# ---------------------------------------------------------------------------
+# Registries.  Factory signature: (features, norm, gn_groups, dtype) → Module.
+# ---------------------------------------------------------------------------
+
+NORMAL_OPS: Sequence[str] = (
+    "none",
+    "identity",
+    "conv3",
+    "dil_conv3",
+    "sep_conv3",
+    "avg_pool3",
+    "max_pool3",
+)
+
+DOWN_OPS: Sequence[str] = (
+    "down_avg_pool",
+    "down_max_pool",
+    "down_conv3",
+    "down_dil_conv3",
+    "down_sep_conv3",
+)
+
+UP_OPS: Sequence[str] = (
+    "up_transpose",
+    "up_conv3",
+    "up_sep_conv3",
+)
+
+_FACTORIES = {
+    # normal (stride 1)
+    "none": lambda c, n, g, dt: Zero(stride=1),
+    "identity": lambda c, n, g, dt: Identity(),
+    "conv3": lambda c, n, g, dt: ConvNormAct(c, 3, 1, 1, 1, n, g, dt),
+    "dil_conv3": lambda c, n, g, dt: ConvNormAct(c, 3, 1, 2, 1, n, g, dt),
+    "sep_conv3": lambda c, n, g, dt: SepConv(c, 1, n, g, dt),
+    "avg_pool3": lambda c, n, g, dt: Pool("avg", 1),
+    "max_pool3": lambda c, n, g, dt: Pool("max", 1),
+    # down (stride 2)
+    "down_avg_pool": lambda c, n, g, dt: Pool("avg", 2),
+    "down_max_pool": lambda c, n, g, dt: Pool("max", 2),
+    "down_conv3": lambda c, n, g, dt: ConvNormAct(c, 3, 2, 1, 1, n, g, dt),
+    "down_dil_conv3": lambda c, n, g, dt: ConvNormAct(c, 3, 2, 2, 1, n, g, dt),
+    "down_sep_conv3": lambda c, n, g, dt: SepConv(c, 2, n, g, dt),
+    # up (2x)
+    "up_transpose": lambda c, n, g, dt: UpTranspose(c, n, g, dt),
+    "up_conv3": lambda c, n, g, dt: UpSampleConv(c, False, n, g, dt),
+    "up_sep_conv3": lambda c, n, g, dt: UpSampleConv(c, True, n, g, dt),
+}
+
+
+def make_op(name: str, features: int, norm: str = "group", gn_groups: int = 8,
+            dtype: jnp.dtype = jnp.float32) -> nn.Module:
+    """Instantiate a candidate op by registry name."""
+    if name not in _FACTORIES:
+        raise KeyError(f"unknown op {name!r}")
+    return _FACTORIES[name](features, norm, gn_groups, dtype)

@@ -1,0 +1,190 @@
+"""Typed configuration tree.
+
+The reference keeps all hyperparameters in a single ``config.yml`` read with
+PyYAML at the top of each entry script (SURVEY.md §2 "Config loader").  Here
+the same surface is a tree of frozen dataclasses, loadable from YAML with
+dotted CLI overrides, and versioned into checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+try:  # PyYAML is in the base image (SURVEY.md §7 [ENV]); gate anyway.
+    import yaml
+
+    _HAVE_YAML = True
+except Exception:  # pragma: no cover
+    _HAVE_YAML = False
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Paths + preprocessing/patching knobs (SURVEY.md §2 preprocessor/generator)."""
+
+    raw_dir: str = "data/brats_raw"           # contains HGG/ and LGG/ patient dirs
+    processed_dir: str = "data/brats_h5"      # per-patient HDF5 output
+    modalities: Tuple[str, ...] = ("t1", "t1ce", "t2", "flair")
+    seg_suffix: str = "seg"
+    patch_size: Tuple[int, int, int] = (128, 128, 128)
+    batch_size: int = 2
+    val_fraction: float = 0.2
+    # augmentation
+    flip_prob: float = 0.5                    # per spatial axis
+    intensity_shift: float = 0.1              # additive jitter, std-units
+    intensity_scale: float = 0.1              # multiplicative jitter amplitude
+    # label encoding: "regions" = sigmoid over (WT, TC, ET); "classes" = softmax over 4
+    label_mode: str = "regions"
+    num_classes: int = 3
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Supernet / derived-net shape (SURVEY.md §2 Cell/Supernet rows)."""
+
+    in_channels: int = 4                      # BraTS modalities
+    base_channels: int = 16                   # node channels at full resolution
+    depth: int = 3                            # number of down cells (and up cells)
+    n_nodes: int = 3                          # intermediate nodes per cell
+    norm: str = "group"                       # "group" | "instance" | "none"
+    gn_groups: int = 8
+    remat: bool = True                        # jax.checkpoint per cell
+    # compute dtype for activations; params/accum stay fp32
+    dtype: str = "bfloat16"
+    use_pallas: bool = False                  # Pallas kernels vs lax reference path
+
+
+@dataclass(frozen=True)
+class SearchConfig:
+    """DARTS bilevel search (SURVEY.md §2 "Search driver")."""
+
+    epochs: int = 50
+    steps_per_epoch: int = 250
+    w_lr: float = 3e-4
+    w_weight_decay: float = 1e-4
+    alpha_lr: float = 3e-4
+    alpha_weight_decay: float = 1e-3
+    warmup_epochs: int = 5                    # epochs of w-only updates before alpha
+    checkpoint_dir: str = "ckpt/search"
+    checkpoint_every: int = 1                 # epochs
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Derived-architecture training (SURVEY.md §2 "Derived trainer")."""
+
+    epochs: int = 300
+    steps_per_epoch: int = 250
+    lr: float = 3e-4
+    weight_decay: float = 1e-4
+    lr_patience: int = 30                     # plateau epochs before lr drop
+    lr_factor: float = 0.5
+    min_lr: float = 1e-6
+    checkpoint_dir: str = "ckpt/train"
+    checkpoint_every: int = 1
+    genotype_path: str = "ckpt/search/genotype.json"
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class InferConfig:
+    """Sliding-window whole-volume inference (SURVEY.md §2 "Sliding-window predictor")."""
+
+    patch_size: Tuple[int, int, int] = (128, 128, 128)
+    overlap: float = 0.5                      # stride = patch * (1 - overlap)
+    batch_size: int = 4
+    threshold: float = 0.5                    # region-prob threshold
+    output_dir: str = "predictions"
+    checkpoint_dir: str = "ckpt/train"
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """GSPMD mesh layout (SURVEY.md §2b, §5 comm-backend row)."""
+
+    data_axis: str = "data"
+    spatial_axis: str = "spatial"             # optional volume-axis sharding
+    data_parallel: int = -1                   # -1 = all devices
+    spatial_parallel: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    search: SearchConfig = field(default_factory=SearchConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    infer: InferConfig = field(default_factory=InferConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+
+_SECTIONS = {
+    "data": DataConfig,
+    "model": ModelConfig,
+    "search": SearchConfig,
+    "train": TrainConfig,
+    "infer": InferConfig,
+    "parallel": ParallelConfig,
+}
+
+
+def _coerce(cls: type, raw: dict) -> Any:
+    """Build a dataclass from a raw dict, coercing lists to tuples."""
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for key, val in raw.items():
+        if key not in fields:
+            raise KeyError(f"unknown config key {cls.__name__}.{key}")
+        if isinstance(val, list):
+            val = tuple(val)
+        kwargs[key] = val
+    return cls(**kwargs)
+
+
+def config_from_dict(raw: dict) -> Config:
+    sections = {}
+    for name, cls in _SECTIONS.items():
+        if name in raw and raw[name] is not None:
+            sections[name] = _coerce(cls, raw[name])
+    extra = set(raw) - set(_SECTIONS)
+    if extra:
+        raise KeyError(f"unknown config sections: {sorted(extra)}")
+    return Config(**sections)
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) -> Config:
+    """Load YAML config; apply dotted-path overrides like {"model.depth": 4}."""
+    raw: dict = {}
+    if path is not None:
+        if not _HAVE_YAML:  # pragma: no cover
+            raise RuntimeError("PyYAML unavailable; cannot load YAML config")
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+    cfg = config_from_dict(raw)
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg
+
+
+def apply_overrides(cfg: Config, overrides: dict) -> Config:
+    """Apply {"section.key": value} overrides, returning a new Config."""
+    raw = cfg.to_dict()
+    for dotted, val in overrides.items():
+        section, _, key = dotted.partition(".")
+        if not key or section not in raw:
+            raise KeyError(f"bad override path {dotted!r}")
+        if key not in raw[section]:
+            raise KeyError(f"unknown config key {dotted!r}")
+        raw[section][key] = val
+    return config_from_dict(raw)

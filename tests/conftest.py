@@ -1,0 +1,23 @@
+"""Test env: force CPU with 8 virtual devices.
+
+Only 1 real TPU chip exists in this environment (SURVEY.md §7 [ENV]); the
+multi-device GSPMD tests run on a fake 8-device CPU mesh as SURVEY.md §4
+prescribes.  CPU also keeps compile latency out of the test loop.
+
+Note: the image's sitecustomize imports jax and registers the remote-TPU
+("axon") PJRT plugin at interpreter start, so JAX_PLATFORMS is already
+captured — we must flip the platform via jax.config, not os.environ.
+"""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
