@@ -1,0 +1,77 @@
+"""Whole-volume prediction driver (reference `predict.py`, SURVEY.md §3.4).
+
+Per patient: load preprocessed HDF5 → sliding-window averaged region
+probabilities → threshold → remap regions to BraTS labels {0,1,2,4} →
+un-crop to the original scan geometry → write `.nii.gz`; report per-region
+Dice (WT/TC/ET) when ground truth is present.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.preprocess import load_patient_h5
+from ..io.nifti import write_nifti
+from ..metrics.dice import labels_to_regions, region_dice, regions_to_labels
+from .sliding import SlidingWindowPredictor
+
+
+def uncrop_labels(labels: np.ndarray, crop_start: np.ndarray,
+                  orig_shape: np.ndarray) -> np.ndarray:
+    """Place a cropped label map back into the original volume geometry."""
+    out = np.zeros(tuple(int(s) for s in orig_shape), dtype=labels.dtype)
+    s = [int(v) for v in crop_start]
+    out[s[0]:s[0] + labels.shape[0],
+        s[1]:s[1] + labels.shape[1],
+        s[2]:s[2] + labels.shape[2]] = labels
+    return out
+
+
+def predict_patient(
+    predictor: SlidingWindowPredictor,
+    h5_path: str,
+    out_dir: Optional[str] = None,
+    threshold: float = 0.5,
+) -> Dict:
+    """One patient end-to-end; returns metrics + timing."""
+    rec = load_patient_h5(h5_path)
+    t0 = time.perf_counter()
+    probs = predictor.predict_volume(rec["image"])
+    labels = np.asarray(regions_to_labels(jnp.asarray(probs), threshold))
+    full = uncrop_labels(labels, rec["crop_start"], rec["orig_shape"])
+    elapsed = time.perf_counter() - t0
+
+    result: Dict = {"patient": rec["patient"], "seconds": elapsed}
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        out_path = os.path.join(out_dir, rec["patient"] + ".nii.gz")
+        write_nifti(out_path, full, rec.get("affine"))
+        result["output"] = out_path
+    if "label" in rec:
+        pred_regions = labels_to_regions(jnp.asarray(labels.astype(np.int32)))
+        true_regions = labels_to_regions(jnp.asarray(rec["label"].astype(np.int32)))
+        dice = np.asarray(region_dice(pred_regions, true_regions))
+        result["dice"] = {"WT": float(dice[0]), "TC": float(dice[1]), "ET": float(dice[2])}
+    return result
+
+
+def predict_dataset(
+    predictor: SlidingWindowPredictor,
+    processed_dir: str,
+    out_dir: Optional[str] = None,
+    threshold: float = 0.5,
+) -> List[Dict]:
+    """All patients under processed_dir; prints one JSON line per patient."""
+    results = []
+    for path in sorted(glob.glob(os.path.join(processed_dir, "*.h5"))):
+        res = predict_patient(predictor, path, out_dir, threshold)
+        print(json.dumps(res))
+        results.append(res)
+    return results

@@ -1,0 +1,163 @@
+"""Sliding-window whole-volume inference with overlap stitching.
+
+Reference algorithm (SURVEY.md §2 "Sliding-window predictor", §3.4): cover
+the preprocessed volume with a grid of overlapping patches (stride < patch),
+run batched forwards, accumulate per-voxel probability sums and visit
+counts, then divide once — overlap *averaging*.
+
+TPU-first design:
+  * The whole loop lives in ONE jitted function per (volume-shape, #patches)
+    signature: patches are gathered with `lax.dynamic_slice` and accumulated
+    with read-modify-write `lax.dynamic_update_slice` inside a `lax.scan` —
+    no host↔device round-trip per batch (the reference crosses the boundary
+    twice per batch, SURVEY.md §3.4).
+  * Bit-for-bit fp32 contract (SURVEY.md §6): accumulation is a fixed,
+    sequential patch order in fp32, with a single division at the end, so
+    the stitched output is exactly reproducible and matches the numpy
+    oracle in tests.  Forward passes inside a batch are independent
+    (vmapped/batched), which does not affect per-voxel accumulation order
+    because each voxel's contributions are still added in grid order.
+  * Padded grid entries (to fill the last batch) carry weight 0.0: adding
+    0.0 in fp32 is exact, so padding never perturbs the stitched result.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def grid_starts(dim: int, patch: int, stride: int) -> List[int]:
+    """1-D window start positions: stride steps, final window end-aligned."""
+    if dim < patch:
+        raise ValueError(f"dim {dim} < patch {patch}; pad the volume first")
+    starts = list(range(0, dim - patch + 1, max(1, stride)))
+    if starts[-1] != dim - patch:
+        starts.append(dim - patch)
+    return starts
+
+
+def grid_coords(shape: Sequence[int], patch: Sequence[int], stride: Sequence[int]) -> np.ndarray:
+    """(N, 3) int32 array of patch start coordinates in scan order (D, H, W)."""
+    ds = grid_starts(shape[0], patch[0], stride[0])
+    hs = grid_starts(shape[1], patch[1], stride[1])
+    ws = grid_starts(shape[2], patch[2], stride[2])
+    coords = [(d, h, w) for d in ds for h in hs for w in ws]
+    return np.asarray(coords, dtype=np.int32)
+
+
+@partial(jax.jit, static_argnames=("forward_fn", "patch", "batch_size", "num_classes"))
+def _stitch(
+    volume: Array,            # (D, H, W, C) fp32, already padded to >= patch
+    coords: Array,            # (Nb, B, 3) int32, batched patch starts
+    weights: Array,           # (Nb, B) fp32, 0.0 for padded grid entries
+    forward_fn: Callable,     # (B, p, p, p, C) -> (B, p, p, p, K) fp32 probs
+    patch: Tuple[int, int, int],
+    batch_size: int,
+    num_classes: int,
+) -> Tuple[Array, Array]:
+    """Scan over coord batches; accumulate prob sums and counts on device."""
+    d, h, w, _ = volume.shape
+    sum_buf = jnp.zeros((d, h, w, num_classes), dtype=jnp.float32)
+    cnt_buf = jnp.zeros((d, h, w, 1), dtype=jnp.float32)
+
+    def gather_patch(c):
+        return jax.lax.dynamic_slice(
+            volume, (c[0], c[1], c[2], 0), (*patch, volume.shape[-1]))
+
+    def body(carry, batch):
+        sums, cnts = carry
+        cs, ws = batch
+        patches = jax.vmap(gather_patch)(cs)              # (B, p, p, p, C)
+        probs = forward_fn(patches).astype(jnp.float32)   # (B, p, p, p, K)
+
+        def add_one(i, bufs):
+            sums, cnts = bufs
+            c = cs[i]
+            wgt = ws[i]
+            idx = (c[0], c[1], c[2], 0)
+            cur = jax.lax.dynamic_slice(sums, idx, (*patch, num_classes))
+            sums = jax.lax.dynamic_update_slice(sums, cur + wgt * probs[i], idx)
+            curc = jax.lax.dynamic_slice(cnts, idx, (*patch, 1))
+            cnts = jax.lax.dynamic_update_slice(
+                cnts, curc + wgt * jnp.ones_like(curc), idx)
+            return sums, cnts
+
+        sums, cnts = jax.lax.fori_loop(0, batch_size, add_one, (sums, cnts))
+        return (sums, cnts), None
+
+    (sum_buf, cnt_buf), _ = jax.lax.scan(body, (sum_buf, cnt_buf), (coords, weights))
+    return sum_buf, cnt_buf
+
+
+def sliding_window_probs(
+    forward_fn: Callable[[Array], Array],
+    volume: np.ndarray,
+    patch_size: Sequence[int],
+    overlap: float = 0.5,
+    batch_size: int = 4,
+    num_classes: int = 3,
+) -> np.ndarray:
+    """Whole-volume averaged probabilities, (D, H, W, K) fp32.
+
+    `forward_fn` maps a patch batch (B, p, p, p, C) to *probabilities*
+    (B, p, p, p, K); it is traced inside the jitted stitcher.
+    `volume` is the preprocessed (D, H, W, C) image.
+    """
+    volume = np.asarray(volume, dtype=np.float32)
+    orig_shape = volume.shape[:3]
+    patch = tuple(int(p) for p in patch_size)
+    stride = tuple(max(1, int(round(p * (1.0 - overlap)))) for p in patch)
+
+    # pad (end-only) so every dim fits at least one patch
+    pad = [max(0, p - s) for p, s in zip(patch, orig_shape)]
+    if any(pad):
+        volume = np.pad(volume, [(0, pad[0]), (0, pad[1]), (0, pad[2]), (0, 0)])
+    shape = volume.shape[:3]
+
+    coords = grid_coords(shape, patch, stride)            # (N, 3)
+    n = coords.shape[0]
+    n_batches = math.ceil(n / batch_size)
+    n_pad = n_batches * batch_size - n
+    weights = np.ones((n,), dtype=np.float32)
+    if n_pad:
+        coords = np.concatenate([coords, np.repeat(coords[-1:], n_pad, axis=0)])
+        weights = np.concatenate([weights, np.zeros((n_pad,), np.float32)])
+    coords = coords.reshape(n_batches, batch_size, 3)
+    weights = weights.reshape(n_batches, batch_size)
+
+    sums, cnts = _stitch(
+        jnp.asarray(volume), jnp.asarray(coords), jnp.asarray(weights),
+        forward_fn=forward_fn, patch=patch, batch_size=batch_size,
+        num_classes=num_classes)
+    probs = np.asarray(sums) / np.asarray(cnts)           # single divide
+    return probs[: orig_shape[0], : orig_shape[1], : orig_shape[2]]
+
+
+class SlidingWindowPredictor:
+    """Convenience wrapper binding a model apply-fn + params."""
+
+    def __init__(self, apply_fn, params, patch_size, overlap=0.5, batch_size=4,
+                 num_classes=3):
+        self.patch_size = tuple(patch_size)
+        self.overlap = overlap
+        self.batch_size = batch_size
+        self.num_classes = num_classes
+        self._params = params
+        self._apply = apply_fn
+
+    def forward_probs(self, patches: Array) -> Array:
+        logits = self._apply(self._params, patches)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    def predict_volume(self, volume: np.ndarray) -> np.ndarray:
+        return sliding_window_probs(
+            self.forward_probs, volume, self.patch_size, self.overlap,
+            self.batch_size, self.num_classes)
