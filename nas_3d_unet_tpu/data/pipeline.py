@@ -1,0 +1,222 @@
+"""Online patch pipeline: random 3D crops + augmentation feeding the device.
+
+Reference behavior (SURVEY.md §2 "Patch generator"): train/val split of the
+patient list; each step samples a random patch from a random patient with
+random axis flips and intensity jitter, yielding (x, y) batches with region
+(WT/TC/ET) label encoding.
+
+TPU-first design (SURVEY.md §7 hard-part 5):
+  * The whole preprocessed dataset fits in host RAM → an in-memory
+    PatientCache; per-step work is pure numpy slicing (cheap).
+  * A background-thread Prefetcher overlaps host batch assembly +
+    host→device transfer with device compute, so the step never waits on
+    the generator (the reference blocks on h5 reads every step, §3.2).
+  * Augmentation can also run on device inside the jitted step
+    (`augment_batch`, driven by the step RNG key) — flips/jitter fuse into
+    the forward graph and cost ~nothing on the VPU; the host path exists
+    for parity tests and CPU runs.
+  * Per-host data sharding for multi-host GSPMD: each process keeps only
+    `patients[process_index::process_count]` (SURVEY.md §5 comm row).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..metrics.dice import labels_to_regions
+from .preprocess import load_patient_h5
+
+Array = jax.Array
+
+
+def split_patients(paths: Sequence[str], val_fraction: float, seed: int) -> Tuple[List[str], List[str]]:
+    """Deterministic shuffled train/val split of patient h5 paths."""
+    paths = sorted(paths)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(paths))
+    n_val = max(1, int(round(len(paths) * val_fraction))) if len(paths) > 1 else 0
+    val_idx = set(perm[:n_val].tolist())
+    train = [p for i, p in enumerate(paths) if i not in val_idx]
+    val = [p for i, p in enumerate(paths) if i in val_idx]
+    return train, val
+
+
+class PatientCache:
+    """All preprocessed patients resident in host RAM (images + region labels)."""
+
+    def __init__(self, paths: Sequence[str], label_mode: str = "regions"):
+        if not paths:
+            raise ValueError("empty patient list")
+        self.records: List[Dict[str, np.ndarray]] = []
+        for p in paths:
+            rec = load_patient_h5(p)
+            item = {"image": np.ascontiguousarray(rec["image"], dtype=np.float32)}
+            if "label" in rec:
+                if label_mode == "regions":
+                    item["label"] = np.asarray(
+                        labels_to_regions(jnp.asarray(rec["label"].astype(np.int32))),
+                        dtype=np.float32)
+                else:
+                    item["label"] = rec["label"].astype(np.int32)
+            self.records.append(item)
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+
+def _random_crop(rng: np.random.Generator, image: np.ndarray, label: Optional[np.ndarray],
+                 patch: Tuple[int, int, int]):
+    """Random patch crop; volumes smaller than the patch are end-padded."""
+    shape = image.shape[:3]
+    pad = [max(0, p - s) for p, s in zip(patch, shape)]
+    if any(pad):
+        pw = [(0, pad[0]), (0, pad[1]), (0, pad[2])]
+        image = np.pad(image, pw + [(0, 0)])
+        if label is not None:
+            label = np.pad(label, pw + [(0, 0)] * (label.ndim - 3))
+        shape = image.shape[:3]
+    start = [rng.integers(0, s - p + 1) for s, p in zip(shape, patch)]
+    sl = tuple(slice(st, st + p) for st, p in zip(start, patch))
+    img = image[sl]
+    lab = label[sl] if label is not None else None
+    return img, lab
+
+
+def _augment_np(rng: np.random.Generator, img: np.ndarray, lab: Optional[np.ndarray],
+                flip_prob: float, shift: float, scale: float):
+    """Random axis flips + per-modality intensity shift/scale (host path)."""
+    for axis in range(3):
+        if rng.random() < flip_prob:
+            img = np.flip(img, axis=axis)
+            if lab is not None:
+                lab = np.flip(lab, axis=axis)
+    if shift > 0 or scale > 0:
+        c = img.shape[-1]
+        sh = rng.uniform(-shift, shift, size=(1, 1, 1, c)).astype(np.float32)
+        sc = 1.0 + rng.uniform(-scale, scale, size=(1, 1, 1, c)).astype(np.float32)
+        img = img * sc + sh
+    return np.ascontiguousarray(img), (np.ascontiguousarray(lab) if lab is not None else None)
+
+
+class PatchGenerator:
+    """Random-patch batch iterator over a PatientCache (host path)."""
+
+    def __init__(self, cache: PatientCache, patch_size, batch_size: int, seed: int = 0,
+                 augment: bool = True, flip_prob: float = 0.5,
+                 intensity_shift: float = 0.1, intensity_scale: float = 0.1):
+        self.cache = cache
+        self.patch = tuple(int(p) for p in patch_size)
+        self.batch_size = batch_size
+        self.augment = augment
+        self.flip_prob = flip_prob
+        self.shift = intensity_shift
+        self.scale = intensity_scale
+        self.rng = np.random.default_rng(seed)
+
+    def next(self) -> Tuple[np.ndarray, np.ndarray]:
+        xs, ys = [], []
+        for _ in range(self.batch_size):
+            rec = self.cache.records[self.rng.integers(0, len(self.cache))]
+            img, lab = _random_crop(self.rng, rec["image"], rec.get("label"), self.patch)
+            if self.augment:
+                img, lab = _augment_np(self.rng, img, lab, self.flip_prob, self.shift, self.scale)
+            xs.append(img)
+            ys.append(lab)
+        x = np.stack(xs)
+        y = np.stack(ys) if ys[0] is not None else None
+        return x, y
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        while True:
+            yield self.next()
+
+
+def augment_batch(key: Array, x: Array, y: Array, flip_prob: float = 0.5,
+                  intensity_shift: float = 0.1, intensity_scale: float = 0.1):
+    """Device-side augmentation, usable inside a jitted train step.
+
+    Flips are applied per-sample per-axis; intensity jitter per-sample
+    per-modality.  All branch-free (lax.select on reversed tensors), so the
+    step stays a single static graph.
+    """
+    b = x.shape[0]
+    kf, ks, kc = jax.random.split(key, 3)
+    flip = jax.random.uniform(kf, (b, 3)) < flip_prob  # (B, 3)
+
+    def flip_one(img, lab, f):
+        for axis in range(3):
+            img = jnp.where(f[axis], jnp.flip(img, axis=axis), img)
+            lab = jnp.where(f[axis], jnp.flip(lab, axis=axis), lab)
+        return img, lab
+
+    x, y = jax.vmap(flip_one)(x, y, flip)
+    c = x.shape[-1]
+    sh = jax.random.uniform(ks, (b, 1, 1, 1, c), minval=-intensity_shift,
+                            maxval=intensity_shift, dtype=x.dtype)
+    sc = 1.0 + jax.random.uniform(kc, (b, 1, 1, 1, c), minval=-intensity_scale,
+                                  maxval=intensity_scale, dtype=x.dtype)
+    return x * sc + sh, y
+
+
+class Prefetcher:
+    """Background thread that assembles batches and stages them on device."""
+
+    def __init__(self, generator: PatchGenerator, depth: int = 2, device=None,
+                 sharding=None):
+        self._gen = generator
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._device = device
+        self._sharding = sharding
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _put(self, arr: np.ndarray) -> Array:
+        if self._sharding is not None:
+            return jax.device_put(arr, self._sharding)
+        if self._device is not None:
+            return jax.device_put(arr, self._device)
+        return jax.device_put(arr)
+
+    def _worker(self):
+        while not self._stop.is_set():
+            x, y = self._gen.next()
+            batch = (self._put(x), self._put(y) if y is not None else None)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
+
+    def next(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)
+
+
+def dataset_paths(processed_dir: str, process_index: Optional[int] = None,
+                  process_count: Optional[int] = None) -> List[str]:
+    """Patient h5 paths, optionally index-sharded per host for multi-host DP."""
+    paths = sorted(glob.glob(os.path.join(processed_dir, "*.h5")))
+    if process_index is None:
+        process_index = jax.process_index()
+        process_count = jax.process_count()
+    if process_count and process_count > 1:
+        paths = paths[process_index::process_count]
+    return paths

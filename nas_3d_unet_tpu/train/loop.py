@@ -1,0 +1,233 @@
+"""Derived-model training: one jitted Dice+CE step, eval, plateau LR, resume.
+
+Reference loop (SURVEY.md §3.3): per step crop+augment on host, transfer,
+forward/backward, Adam step; per epoch a val loop drives ReduceLROnPlateau
+and best-checkpoint selection by val dice.
+
+TPU-first: the train step is ONE jitted graph — device-side augmentation
+(RNG folded from the state key), bf16 activations with fp32 params/accum,
+donated state buffers (no reallocation per step).  Host work is only the
+numpy patch crop, overlapped via the Prefetcher.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..data.pipeline import PatchGenerator, PatientCache, Prefetcher, augment_batch, split_patients
+from ..metrics.dice import dice_ce_loss, region_dice
+from ..utils.logging import MetricsLogger
+from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+
+Array = jax.Array
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: Array  # int32 scalar
+    rng: Array   # PRNG key
+
+
+def make_optimizer(lr: float, weight_decay: float) -> optax.GradientTransformation:
+    """AdamW with the LR exposed as mutable state (for plateau scheduling)."""
+    return optax.inject_hyperparams(optax.adamw)(learning_rate=lr, weight_decay=weight_decay)
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(opt_state.hyperparams["learning_rate"])
+
+
+def set_learning_rate(opt_state, lr: float):
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.asarray(hp["learning_rate"]).dtype)
+    return opt_state._replace(hyperparams=hp)
+
+
+def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
+                    augment: Optional[dict] = None):
+    """Build the jitted train step: (state, x, y) → (state, metrics).
+
+    `augment`: None, or dict(flip_prob=…, intensity_shift=…, intensity_scale=…)
+    to fold device-side augmentation into the graph.
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, x: Array, y: Array) -> Tuple[TrainState, Dict[str, Array]]:
+        rng, k_aug = jax.random.split(state.rng)
+        if augment is not None:
+            x, y = augment_batch(k_aug, x, y, **augment)
+
+        def loss_fn(params):
+            logits = apply_fn(params, x)
+            return dice_ce_loss(logits, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, rng=rng)
+        return new_state, {"loss": loss}
+
+    return train_step
+
+
+def make_eval_step(apply_fn: Callable, threshold: float = 0.5):
+    """Jitted eval: loss + hard per-region dice on a patch batch."""
+
+    @jax.jit
+    def eval_step(params, x: Array, y: Array) -> Dict[str, Array]:
+        logits = apply_fn(params, x)
+        loss = dice_ce_loss(logits, y)
+        pred = (jax.nn.sigmoid(logits.astype(jnp.float32)) > threshold).astype(jnp.float32)
+        dice = region_dice(pred, y)
+        return {"loss": loss, "dice_wt": dice[0], "dice_tc": dice[1], "dice_et": dice[2]}
+
+    return eval_step
+
+
+class PlateauController:
+    """Host-side ReduceLROnPlateau on mean val dice (higher is better)."""
+
+    def __init__(self, patience: int, factor: float, min_lr: float):
+        self.patience = patience
+        self.factor = factor
+        self.min_lr = min_lr
+        self.best = -np.inf
+        self.bad_epochs = 0
+
+    def update(self, metric: float, lr: float) -> Tuple[float, bool]:
+        """Returns (new_lr, is_best)."""
+        if metric > self.best:
+            self.best = metric
+            self.bad_epochs = 0
+            return lr, True
+        self.bad_epochs += 1
+        if self.bad_epochs > self.patience:
+            self.bad_epochs = 0
+            return max(lr * self.factor, self.min_lr), False
+        return lr, False
+
+    def state_dict(self) -> dict:
+        return {"best": float(self.best), "bad_epochs": self.bad_epochs}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.best = d["best"]
+        self.bad_epochs = d["bad_epochs"]
+
+
+class Trainer:
+    """Derived-model training driver (reference `Training`, SURVEY.md §2)."""
+
+    def __init__(self, net, cfg, data_paths, log_path: Optional[str] = None,
+                 device_augment: bool = True, sharding=None):
+        """`net`: a flax module with (params, x)→logits apply; `cfg`: Config."""
+        self.net = net
+        self.cfg = cfg
+        self.sharding = sharding
+        tc, dc = cfg.train, cfg.data
+        self.tx = make_optimizer(tc.lr, tc.weight_decay)
+        aug = (dict(flip_prob=dc.flip_prob, intensity_shift=dc.intensity_shift,
+                    intensity_scale=dc.intensity_scale) if device_augment else None)
+        self.train_step = make_train_step(net.apply, self.tx, augment=aug)
+        self.eval_step = make_eval_step(net.apply)
+        self.plateau = PlateauController(tc.lr_patience, tc.lr_factor, tc.min_lr)
+        self.logger = MetricsLogger(log_path)
+        self.host_augment = not device_augment
+
+        train_paths, val_paths = split_patients(data_paths, dc.val_fraction, dc.seed)
+        self.train_cache = PatientCache(train_paths, dc.label_mode)
+        self.val_cache = PatientCache(val_paths or train_paths, dc.label_mode)
+        self.patch = dc.patch_size
+        self.batch = dc.batch_size
+
+    def init_state(self, rng: Array) -> TrainState:
+        k_init, k_state = jax.random.split(rng)
+        x0 = jnp.zeros((self.batch, *self.patch, self.cfg.model.in_channels), jnp.float32)
+        params = self.net.init(k_init, x0)
+        opt_state = self.tx.init(params)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=jnp.asarray(0, jnp.int32), rng=k_state)
+
+    def resume_or_init(self, rng: Array) -> TrainState:
+        state = self.init_state(rng)
+        ckpt = latest_checkpoint(self.cfg.train.checkpoint_dir)
+        if ckpt is not None:
+            step, path = ckpt
+            state = load_checkpoint(path, state)
+            self.logger.log(event="resume", step=step, path=path)
+        return state
+
+    def _generators(self, seed: int):
+        dc = self.cfg.data
+        gtrain = PatchGenerator(self.train_cache, self.patch, self.batch, seed=seed,
+                                augment=self.host_augment, flip_prob=dc.flip_prob,
+                                intensity_shift=dc.intensity_shift,
+                                intensity_scale=dc.intensity_scale)
+        gval = PatchGenerator(self.val_cache, self.patch, self.batch,
+                              seed=seed + 1, augment=False)
+        return gtrain, gval
+
+    def train(self, epochs: Optional[int] = None, steps_per_epoch: Optional[int] = None,
+              val_steps: int = 8) -> TrainState:
+        tc = self.cfg.train
+        epochs = epochs if epochs is not None else tc.epochs
+        steps_per_epoch = steps_per_epoch if steps_per_epoch is not None else tc.steps_per_epoch
+
+        state = self.resume_or_init(jax.random.PRNGKey(tc.seed))
+        start_epoch = int(state.step) // steps_per_epoch
+        gtrain, gval = self._generators(tc.seed + start_epoch)
+        prefetch = Prefetcher(gtrain, depth=2, sharding=self.sharding)
+        try:
+            for epoch in range(start_epoch, epochs):
+                t0 = time.perf_counter()
+                losses = []
+                for _ in range(steps_per_epoch):
+                    x, y = prefetch.next()
+                    state, metrics = self.train_step(state, x, y)
+                    losses.append(metrics["loss"])
+                jax.block_until_ready(losses[-1])
+                dt = time.perf_counter() - t0
+                pps = steps_per_epoch * self.batch / dt
+
+                val = self.evaluate(state.params, gval, val_steps)
+                mean_dice = float(np.mean([val["dice_wt"], val["dice_tc"], val["dice_et"]]))
+                lr = get_learning_rate(state.opt_state)
+                new_lr, is_best = self.plateau.update(mean_dice, lr)
+                if new_lr != lr:
+                    state = state.replace(opt_state=set_learning_rate(state.opt_state, new_lr))
+
+                self.logger.log(event="epoch", epoch=epoch,
+                                train_loss=float(np.mean([float(l) for l in losses])),
+                                val_loss=val["loss"], dice_wt=val["dice_wt"],
+                                dice_tc=val["dice_tc"], dice_et=val["dice_et"],
+                                mean_dice=mean_dice, lr=new_lr, patches_per_sec=pps)
+
+                if (epoch + 1) % tc.checkpoint_every == 0 or is_best:
+                    save_checkpoint(tc.checkpoint_dir, int(state.step), state,
+                                    metadata={"epoch": epoch, "mean_dice": mean_dice,
+                                              "plateau": self.plateau.state_dict(),
+                                              "config": self.cfg.to_dict()},
+                                    best=is_best)
+        finally:
+            prefetch.close()
+        return state
+
+    def evaluate(self, params, gval: PatchGenerator, val_steps: int) -> Dict[str, float]:
+        accum: Dict[str, list] = {}
+        for _ in range(val_steps):
+            x, y = gval.next()
+            m = self.eval_step(params, jnp.asarray(x), jnp.asarray(y))
+            for k, v in m.items():
+                accum.setdefault(k, []).append(float(v))
+        return {k: float(np.mean(v)) for k, v in accum.items()}

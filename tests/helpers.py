@@ -1,0 +1,44 @@
+"""Shared test fixtures: synthetic BraTS-like datasets and tiny nets."""
+
+import numpy as np
+
+from nas_3d_unet_tpu.data.preprocess import preprocess_arrays
+
+
+def write_synthetic_h5(out_dir, n_patients=3, shape=(20, 18, 16), seed=0):
+    """Deterministic synthetic dataset with a LEARNABLE rule:
+    tumor (label 2/4) sits where t1ce intensity is high, so a model can fit
+    it quickly (SURVEY.md §4 integration-test strategy)."""
+    import h5py
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    paths = []
+    for i in range(n_patients):
+        vols = []
+        base = rng.random(shape).astype(np.float32) * 0.2 + 0.1
+        blob = np.zeros(shape, np.float32)
+        c = [int(rng.integers(s // 3, max(s // 3 + 1, 2 * s // 3))) for s in shape]
+        r = max(2, min(shape) // 5)
+        zz, yy, xx = np.mgrid[:shape[0], :shape[1], :shape[2]]
+        mask = (zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2 < r ** 2
+        blob[mask] = 1.0
+        for m in range(4):
+            v = base + (blob if m == 1 else 0.0) + rng.random(shape).astype(np.float32) * 0.02
+            vols.append(v)
+        seg = np.zeros(shape, np.uint8)
+        seg[mask] = 2
+        inner = (zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2 < (r - 2) ** 2
+        seg[inner] = 4
+        rec = preprocess_arrays(vols, seg)
+        path = os.path.join(out_dir, f"SYN_{i}.h5")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("image", data=rec["image"])
+            f.create_dataset("label", data=rec["label"])
+            f.attrs["crop_start"] = rec["crop_start"]
+            f.attrs["orig_shape"] = rec["orig_shape"]
+            f.attrs["affine"] = np.eye(4, dtype=np.float32)
+            f.attrs["patient"] = f"SYN_{i}"
+        paths.append(path)
+    return paths
