@@ -1,0 +1,216 @@
+"""DARTS bilevel search: one jitted step doing the α-update and the w-update.
+
+Reference loop (SURVEY.md §3.2): per step, (1) α-step — dice loss of the
+supernet on a val-split batch, backward, α-optimizer step; (2) w-step —
+dice loss on a train-split batch, backward, w-optimizer step.  First-order
+approximation (no second-order unroll).  Two Adam optimizers.  Epoch loop
+logs dice, checkpoints {w, α, optimizer states}, and finally decodes
+softmax(α) into a genotype.
+
+TPU-first: both phases live in ONE jitted graph with donated state
+(SURVEY.md §1 north-star: "runs as a single jitted graph") — the reference
+crosses the host↔device boundary twice per step and launches two separate
+backward graphs; here XLA schedules both passes back-to-back on device with
+no host sync between them.  The w-step sees the *updated* α (sequential
+semantics, matching the reference's update order).
+
+Warmup epochs (w-only updates while α stays frozen) are standard DARTS
+practice to avoid collapsing to parameter-free ops early; the warmup step
+is a separate jitted function so neither graph carries dead branches.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..data.pipeline import PatchGenerator, PatientCache, Prefetcher, augment_batch, split_patients
+from ..metrics.dice import dice_ce_loss
+from ..models.genotype import Genotype, init_alphas, parse_alphas
+from ..models.unet import arch_weights_from_alphas
+from ..utils.logging import MetricsLogger
+from ..train.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+
+Array = jax.Array
+
+
+@struct.dataclass
+class SearchState:
+    params: Any        # supernet weights w
+    w_opt: Any
+    alphas: Any        # architecture parameters α (dict of fp32 tensors)
+    a_opt: Any
+    step: Array
+    rng: Array
+
+
+def make_search_step(apply_fn: Callable, w_tx: optax.GradientTransformation,
+                     a_tx: optax.GradientTransformation,
+                     augment: Optional[dict] = None):
+    """(state, x_tr, y_tr, x_val, y_val) → (state, metrics), fully jitted."""
+
+    def loss_fn(params, alphas, x, y):
+        logits = apply_fn(params, x, arch_weights_from_alphas(alphas))
+        return dice_ce_loss(logits, y)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def search_step(state: SearchState, x_tr: Array, y_tr: Array,
+                    x_val: Array, y_val: Array) -> Tuple[SearchState, Dict[str, Array]]:
+        rng, k1, k2 = jax.random.split(state.rng, 3)
+        if augment is not None:
+            x_tr, y_tr = augment_batch(k1, x_tr, y_tr, **augment)
+            x_val, y_val = augment_batch(k2, x_val, y_val, **augment)
+
+        # (1) architecture step on the val batch
+        val_loss, a_grads = jax.value_and_grad(loss_fn, argnums=1)(
+            state.params, state.alphas, x_val, y_val)
+        a_updates, a_opt = a_tx.update(a_grads, state.a_opt, state.alphas)
+        alphas = optax.apply_updates(state.alphas, a_updates)
+
+        # (2) weight step on the train batch, under the updated α
+        train_loss, w_grads = jax.value_and_grad(loss_fn, argnums=0)(
+            state.params, alphas, x_tr, y_tr)
+        w_updates, w_opt = w_tx.update(w_grads, state.w_opt, state.params)
+        params = optax.apply_updates(state.params, w_updates)
+
+        new_state = SearchState(params=params, w_opt=w_opt, alphas=alphas,
+                                a_opt=a_opt, step=state.step + 1, rng=rng)
+        return new_state, {"train_loss": train_loss, "val_loss": val_loss}
+
+    return search_step
+
+
+def make_warmup_step(apply_fn: Callable, w_tx: optax.GradientTransformation,
+                     augment: Optional[dict] = None):
+    """w-only update (α frozen) for the warmup epochs."""
+
+    def loss_fn(params, alphas, x, y):
+        logits = apply_fn(params, x, arch_weights_from_alphas(alphas))
+        return dice_ce_loss(logits, y)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def warmup_step(state: SearchState, x_tr: Array, y_tr: Array
+                    ) -> Tuple[SearchState, Dict[str, Array]]:
+        rng, k1 = jax.random.split(state.rng)
+        if augment is not None:
+            x_tr, y_tr = augment_batch(k1, x_tr, y_tr, **augment)
+        train_loss, w_grads = jax.value_and_grad(loss_fn)(
+            state.params, state.alphas, x_tr, y_tr)
+        w_updates, w_opt = w_tx.update(w_grads, state.w_opt, state.params)
+        params = optax.apply_updates(state.params, w_updates)
+        new_state = SearchState(params=params, w_opt=w_opt, alphas=state.alphas,
+                                a_opt=state.a_opt, step=state.step + 1, rng=rng)
+        return new_state, {"train_loss": train_loss, "val_loss": jnp.float32(0)}
+
+    return warmup_step
+
+
+def alpha_summary(alphas: Dict[str, Array]) -> Dict[str, float]:
+    """Mean softmax entropy per α group — the standard search-health signal."""
+    out = {}
+    for name, a in alphas.items():
+        p = jax.nn.softmax(a, axis=-1)
+        ent = -jnp.sum(p * jnp.log(p + 1e-9), axis=-1)
+        out[f"entropy_{name}"] = float(jnp.mean(ent))
+    return out
+
+
+class Searcher:
+    """Supernet search driver (reference `Searching`, SURVEY.md §2/§3.2)."""
+
+    def __init__(self, supernet, cfg, data_paths, log_path: Optional[str] = None,
+                 device_augment: bool = True, sharding=None):
+        self.net = supernet
+        self.cfg = cfg
+        self.sharding = sharding
+        sc, dc = cfg.search, cfg.data
+        self.w_tx = optax.adamw(sc.w_lr, weight_decay=sc.w_weight_decay)
+        self.a_tx = optax.adamw(sc.alpha_lr, weight_decay=sc.alpha_weight_decay)
+        aug = (dict(flip_prob=dc.flip_prob, intensity_shift=dc.intensity_shift,
+                    intensity_scale=dc.intensity_scale) if device_augment else None)
+        self.search_step = make_search_step(supernet.apply, self.w_tx, self.a_tx, aug)
+        self.warmup_step = make_warmup_step(supernet.apply, self.w_tx, aug)
+        self.logger = MetricsLogger(log_path)
+
+        # the search splits its data into a w-part and an α-part
+        w_paths, a_paths = split_patients(data_paths, dc.val_fraction, dc.seed)
+        self.w_cache = PatientCache(w_paths, dc.label_mode)
+        self.a_cache = PatientCache(a_paths or w_paths, dc.label_mode)
+        self.patch = dc.patch_size
+        self.batch = dc.batch_size
+
+    def init_state(self, rng: Array) -> SearchState:
+        k_init, k_alpha, k_state = jax.random.split(rng, 3)
+        alphas = init_alphas(k_alpha, self.cfg.model.n_nodes)
+        x0 = jnp.zeros((self.batch, *self.patch, self.cfg.model.in_channels), jnp.float32)
+        params = self.net.init(k_init, x0, arch_weights_from_alphas(alphas))
+        return SearchState(params=params, w_opt=self.w_tx.init(params),
+                           alphas=alphas, a_opt=self.a_tx.init(alphas),
+                           step=jnp.asarray(0, jnp.int32), rng=k_state)
+
+    def resume_or_init(self, rng: Array) -> SearchState:
+        state = self.init_state(rng)
+        ckpt = latest_checkpoint(self.cfg.search.checkpoint_dir)
+        if ckpt is not None:
+            step, path = ckpt
+            state = load_checkpoint(path, state)
+            self.logger.log(event="resume", step=step, path=path)
+        return state
+
+    def search(self, epochs: Optional[int] = None,
+               steps_per_epoch: Optional[int] = None) -> Tuple[SearchState, Genotype]:
+        sc = self.cfg.search
+        epochs = epochs if epochs is not None else sc.epochs
+        steps_per_epoch = steps_per_epoch if steps_per_epoch is not None else sc.steps_per_epoch
+
+        state = self.resume_or_init(jax.random.PRNGKey(sc.seed))
+        start_epoch = int(state.step) // steps_per_epoch
+        g_w = PatchGenerator(self.w_cache, self.patch, self.batch,
+                             seed=sc.seed + 101 + start_epoch, augment=False)
+        g_a = PatchGenerator(self.a_cache, self.patch, self.batch,
+                             seed=sc.seed + 202 + start_epoch, augment=False)
+        pf_w = Prefetcher(g_w, depth=2, sharding=self.sharding)
+        pf_a = Prefetcher(g_a, depth=2, sharding=self.sharding)
+        genotype = None
+        try:
+            for epoch in range(start_epoch, epochs):
+                warm = epoch < sc.warmup_epochs
+                t0 = time.perf_counter()
+                tr_losses, va_losses = [], []
+                for _ in range(steps_per_epoch):
+                    x_tr, y_tr = pf_w.next()
+                    if warm:
+                        state, m = self.warmup_step(state, x_tr, y_tr)
+                    else:
+                        x_val, y_val = pf_a.next()
+                        state, m = self.search_step(state, x_tr, y_tr, x_val, y_val)
+                    tr_losses.append(m["train_loss"])
+                    va_losses.append(m["val_loss"])
+                jax.block_until_ready(tr_losses[-1])
+                dt = time.perf_counter() - t0
+                pps = steps_per_epoch * self.batch / dt
+
+                genotype = parse_alphas(jax.device_get(state.alphas),
+                                        self.cfg.model.n_nodes)
+                rec = dict(event="epoch", epoch=epoch, warmup=warm,
+                           train_loss=float(np.mean([float(v) for v in tr_losses])),
+                           val_loss=float(np.mean([float(v) for v in va_losses])),
+                           patches_per_sec=pps, **alpha_summary(state.alphas))
+                self.logger.log(**rec)
+
+                if (epoch + 1) % sc.checkpoint_every == 0 or epoch == epochs - 1:
+                    save_checkpoint(sc.checkpoint_dir, int(state.step), state,
+                                    metadata={"epoch": epoch, "config": self.cfg.to_dict()})
+                    genotype.save(os.path.join(sc.checkpoint_dir, "genotype.json"))
+        finally:
+            pf_w.close()
+            pf_a.close()
+        return state, genotype

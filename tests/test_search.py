@@ -1,0 +1,123 @@
+"""Bilevel search: α moves on search steps only, losses drop, genotype emitted."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nas_3d_unet_tpu.models.genotype import Genotype, init_alphas
+from nas_3d_unet_tpu.models.unet import SuperNet, arch_weights_from_alphas
+from nas_3d_unet_tpu.search.bilevel import (
+    SearchState,
+    Searcher,
+    alpha_summary,
+    make_search_step,
+    make_warmup_step,
+)
+from nas_3d_unet_tpu.utils.config import load_config
+from tests.helpers import write_synthetic_h5
+
+import optax
+
+
+def tiny_supernet():
+    return SuperNet(in_channels=4, num_classes=3, base_channels=4, depth=2,
+                    n_nodes=2, gn_groups=4, remat=False, dtype_name="float32")
+
+
+def make_state(net, w_tx, a_tx, b=2, p=8):
+    alphas = init_alphas(jax.random.PRNGKey(0), 2)
+    x0 = jnp.zeros((b, p, p, p, 4), jnp.float32)
+    params = net.init(jax.random.PRNGKey(1), x0, arch_weights_from_alphas(alphas))
+    return SearchState(params=params, w_opt=w_tx.init(params), alphas=alphas,
+                       a_opt=a_tx.init(alphas), step=jnp.asarray(0, jnp.int32),
+                       rng=jax.random.PRNGKey(2))
+
+
+def batches(seed=0, b=2, p=8):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((b, p, p, p, 4)).astype(np.float32)
+    wt = (x[..., 1] > 0.5).astype(np.float32)
+    y = np.stack([wt, wt, wt], axis=-1)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_search_step_updates_both_param_groups():
+    net = tiny_supernet()
+    w_tx, a_tx = optax.adamw(1e-3), optax.adamw(3e-3)
+    step = make_search_step(net.apply, w_tx, a_tx)
+    state = make_state(net, w_tx, a_tx)
+    a_before = jax.device_get(state.alphas)
+    p_before = jax.device_get(state.params)
+    x_tr, y_tr = batches(0)
+    x_val, y_val = batches(1)
+    state, m = step(state, x_tr, y_tr, x_val, y_val)
+    a_after = jax.device_get(state.alphas)
+    p_after = jax.device_get(state.params)
+    a_moved = any(np.abs(a_after[k] - a_before[k]).max() > 0 for k in a_after)
+    leaves_b = jax.tree_util.tree_leaves(p_before)
+    leaves_a = jax.tree_util.tree_leaves(p_after)
+    w_moved = any(np.abs(np.asarray(x) - np.asarray(y)).max() > 0
+                  for x, y in zip(leaves_a, leaves_b))
+    assert a_moved and w_moved
+    assert np.isfinite(float(m["train_loss"])) and np.isfinite(float(m["val_loss"]))
+    assert int(state.step) == 1
+
+
+def test_warmup_step_freezes_alpha():
+    net = tiny_supernet()
+    w_tx, a_tx = optax.adamw(1e-3), optax.adamw(3e-3)
+    step = make_warmup_step(net.apply, w_tx)
+    state = make_state(net, w_tx, a_tx)
+    a_before = jax.device_get(state.alphas)
+    x_tr, y_tr = batches(0)
+    state, _ = step(state, x_tr, y_tr)
+    a_after = jax.device_get(state.alphas)
+    for k in a_after:
+        np.testing.assert_array_equal(a_after[k], a_before[k])
+
+
+def test_search_losses_decrease_overfit():
+    net = tiny_supernet()
+    w_tx, a_tx = optax.adamw(5e-3), optax.adamw(3e-3)
+    step = make_search_step(net.apply, w_tx, a_tx)
+    state = make_state(net, w_tx, a_tx)
+    x_tr, y_tr = batches(0)
+    x_val, y_val = batches(1)
+    first = None
+    for _ in range(30):
+        state, m = step(state, x_tr, y_tr, x_val, y_val)
+        if first is None:
+            first = float(m["train_loss"])
+    assert float(m["train_loss"]) < first
+
+
+def test_alpha_summary_entropy_positive():
+    alphas = init_alphas(jax.random.PRNGKey(0), 2)
+    s = alpha_summary(alphas)
+    assert all(v > 0 for v in s.values())
+
+
+def test_searcher_end_to_end(tmp_path):
+    paths = write_synthetic_h5(str(tmp_path / "h5"), n_patients=3)
+    cfg = load_config(None, overrides={
+        "data.patch_size": (8, 8, 8), "data.batch_size": 2, "data.val_fraction": 0.34,
+        "model.base_channels": 4, "model.depth": 2, "model.n_nodes": 2,
+        "model.gn_groups": 4, "model.dtype": "float32", "model.remat": False,
+        "search.warmup_epochs": 1, "search.w_lr": 3e-3, "search.alpha_lr": 3e-3,
+        "search.checkpoint_dir": str(tmp_path / "ckpt"), "search.seed": 0,
+    })
+    net = tiny_supernet()
+    searcher = Searcher(net, cfg, paths, log_path=str(tmp_path / "slog.jsonl"))
+    state, geno = searcher.search(epochs=2, steps_per_epoch=4)
+    assert int(state.step) == 8
+    assert isinstance(geno, Genotype)
+    geno.validate()
+    gpath = os.path.join(str(tmp_path / "ckpt"), "genotype.json")
+    assert os.path.exists(gpath)
+    assert Genotype.load(gpath) == geno
+    # resume continues
+    searcher2 = Searcher(net, cfg, paths, log_path=str(tmp_path / "slog.jsonl"))
+    state2, _ = searcher2.search(epochs=3, steps_per_epoch=4)
+    assert int(state2.step) == 12
