@@ -133,6 +133,25 @@ class Genotype:
                             raise ValueError(f"up node {i}: bad source {src}")
 
 
+def default_genotype(n_nodes: int = 3) -> Genotype:
+    """A sensible hand-written architecture (used as the flagship derived net
+    when no search has been run; conv-dominated so benchmarks measure the
+    MXU path).  Node 0 reads both inputs; node i>0 reads input 0 and the
+    previous node."""
+    down = []
+    up = []
+    for i in range(n_nodes):
+        if i == 0:
+            down.append((("in0", "down_conv3"), ("in1", "down_sep_conv3")))
+            up.append((("below", "up_transpose"), ("skip", "conv3")))
+        else:
+            down.append((("in1", "down_conv3"), (f"n{i-1}", "conv3")))
+            up.append((("skip", "sep_conv3"), (f"n{i-1}", "conv3")))
+    g = Genotype(n_nodes=n_nodes, down=tuple(down), up=tuple(up))
+    g.validate()
+    return g
+
+
 def _edge_strength(row: np.ndarray, op_names, exclude_none: bool) -> Tuple[float, str]:
     """(score, best_op) for one edge: softmax over its op set, 'none' excluded."""
     probs = np.exp(row - row.max())

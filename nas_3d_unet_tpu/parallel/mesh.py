@@ -1,0 +1,76 @@
+"""Device mesh + GSPMD sharding helpers (SURVEY.md §2b, §5 comm rows).
+
+The reference is single-process single-GPU with no communication layer at
+all; scaling here is pure GSPMD: build a `jax.sharding.Mesh`, place the
+batch with a NamedSharding over the `data` axis (and optionally the `spatial`
+axis over the volume's D dimension — the CNN analog of context/sequence
+parallelism), replicate params, and let XLA insert the gradient all-reduce
+over ICI.  No collectives appear in model code.
+
+Axes:
+  data    — batch dimension; gradients all-reduce across it.
+  spatial — D (depth) axis of the volume; XLA inserts conv halo exchanges
+            automatically for SAME-padded convolutions under sharding.
+            Used when a whole volume or its activations exceed one chip's
+            HBM (SURVEY.md §5 long-context row).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
+
+
+def maybe_initialize_distributed() -> None:
+    """Multi-host init, driven by standard env vars; no-op single-process.
+
+    (The reference has no distributed backend at all — SURVEY.md §2b.)
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def make_mesh(data_parallel: int = -1, spatial_parallel: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Mesh over the available devices: ('data', 'spatial').
+
+    data_parallel == -1 → use every device not taken by the spatial axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if spatial_parallel < 1 or n % spatial_parallel != 0:
+        raise ValueError(f"spatial_parallel {spatial_parallel} must divide device count {n}")
+    if data_parallel == -1:
+        data_parallel = n // spatial_parallel
+    if data_parallel * spatial_parallel != n:
+        raise ValueError(
+            f"data_parallel*spatial_parallel = {data_parallel * spatial_parallel} != {n} devices")
+    arr = np.asarray(devices).reshape(data_parallel, spatial_parallel)
+    return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+    """Sharding for (B, D, H, W, C) batches: B over data, optionally D over spatial."""
+    spec = P(DATA_AXIS, SPATIAL_AXIS if spatial else None, None, None, None)
+    return NamedSharding(mesh, spec)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Fully replicate a pytree (params/opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(mesh: Mesh, tree: Any, spatial: bool = False) -> Any:
+    """Place batch arrays with the (data[, spatial]) sharding."""
+    sharding = batch_sharding(mesh, spatial)
+    return jax.device_put(tree, sharding)

@@ -1,0 +1,131 @@
+"""GSPMD data parallelism on the fake 8-device CPU mesh (SURVEY.md §4).
+
+The sharded train/search steps must be numerically equivalent to the
+single-device step on the same total batch (same seed), up to fp32
+all-reduce ordering.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from nas_3d_unet_tpu.models.genotype import init_alphas, parse_alphas
+from nas_3d_unet_tpu.models.unet import DerivedNet, SuperNet, arch_weights_from_alphas
+from nas_3d_unet_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from nas_3d_unet_tpu.search.bilevel import SearchState, make_search_step
+from nas_3d_unet_tpu.train.loop import TrainState, make_optimizer, make_train_step
+
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 fake devices")
+
+
+def tiny_derived():
+    geno = parse_alphas(init_alphas(jax.random.PRNGKey(0), 2), 2)
+    return DerivedNet(genotype=geno, in_channels=4, num_classes=3, base_channels=4,
+                      depth=2, n_nodes=2, gn_groups=4, remat=False, dtype_name="float32")
+
+
+def batch(b=8, p=8, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((b, p, p, p, 4)).astype(np.float32)
+    wt = (x[..., 1] > 0.5).astype(np.float32)
+    y = np.stack([wt, wt, wt], axis=-1)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8, 1)
+    mesh2 = make_mesh(spatial_parallel=2)
+    assert mesh2.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh(spatial_parallel=3)
+    with pytest.raises(ValueError):
+        make_mesh(data_parallel=3, spatial_parallel=2)
+
+
+def _run_train(state, step_fn, x, y, n=3):
+    for _ in range(n):
+        state, m = step_fn(state, x, y)
+    return state, m
+
+
+def test_dp_train_step_matches_single_device():
+    net = tiny_derived()
+    tx = make_optimizer(1e-3, 1e-4)
+    step = make_train_step(net.apply, tx, augment=None)
+    x, y = batch()
+
+    def init_state():
+        params = net.init(jax.random.PRNGKey(1), jnp.zeros_like(x))
+        return TrainState(params=params, opt_state=tx.init(params),
+                          step=jnp.asarray(0, jnp.int32), rng=jax.random.PRNGKey(2))
+
+    # single device
+    s_single, m_single = _run_train(init_state(), step, x, y)
+
+    # 8-way DP: replicated state, batch sharded over data axis
+    mesh = make_mesh()
+    state = replicate(mesh, init_state())
+    xs, ys = shard_batch(mesh, (x, y))
+    s_dp, m_dp = _run_train(state, step, xs, ys)
+
+    np.testing.assert_allclose(float(m_single["loss"]), float(m_dp["loss"]),
+                               rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                    jax.tree_util.tree_leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)
+
+
+def test_dp_spatial_train_step_runs():
+    """data×spatial mesh: batch over 4 devices, volume D-axis over 2."""
+    net = tiny_derived()
+    tx = make_optimizer(1e-3, 0.0)
+    step = make_train_step(net.apply, tx, augment=None)
+    x, y = batch(b=4, p=8)
+    mesh = make_mesh(spatial_parallel=2)
+
+    params = net.init(jax.random.PRNGKey(1), jnp.zeros_like(x))
+    state = replicate(mesh, TrainState(params=params, opt_state=tx.init(params),
+                                       step=jnp.asarray(0, jnp.int32),
+                                       rng=jax.random.PRNGKey(2)))
+    xs, ys = shard_batch(mesh, (x, y), spatial=True)
+    assert xs.sharding.spec == batch_sharding(mesh, spatial=True).spec
+    state, m = step(state, xs, ys)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_dp_search_step_matches_single_device():
+    net = SuperNet(in_channels=4, num_classes=3, base_channels=4, depth=1,
+                   n_nodes=2, gn_groups=4, remat=False, dtype_name="float32")
+    w_tx, a_tx = optax.adamw(1e-3), optax.adamw(3e-3)
+    step = make_search_step(net.apply, w_tx, a_tx)
+    x_tr, y_tr = batch(seed=0)
+    x_va, y_va = batch(seed=1)
+
+    def init_state():
+        alphas = init_alphas(jax.random.PRNGKey(0), 2)
+        params = net.init(jax.random.PRNGKey(1), jnp.zeros_like(x_tr),
+                          arch_weights_from_alphas(alphas))
+        return SearchState(params=params, w_opt=w_tx.init(params), alphas=alphas,
+                           a_opt=a_tx.init(alphas), step=jnp.asarray(0, jnp.int32),
+                           rng=jax.random.PRNGKey(2))
+
+    s1, m1 = step(init_state(), x_tr, y_tr, x_va, y_va)
+
+    mesh = make_mesh()
+    state = replicate(mesh, init_state())
+    xs_tr, ys_tr, xs_va, ys_va = shard_batch(mesh, (x_tr, y_tr, x_va, y_va))
+    s2, m2 = step(state, xs_tr, ys_tr, xs_va, ys_va)
+
+    np.testing.assert_allclose(float(m1["train_loss"]), float(m2["train_loss"]), rtol=2e-5)
+    for k in s1.alphas:
+        np.testing.assert_allclose(np.asarray(s1.alphas[k]), np.asarray(s2.alphas[k]),
+                                   atol=2e-6)
