@@ -51,10 +51,11 @@ def make_mesh(data_parallel: int = -1, spatial_parallel: int = 1,
         raise ValueError(f"spatial_parallel {spatial_parallel} must divide device count {n}")
     if data_parallel == -1:
         data_parallel = n // spatial_parallel
-    if data_parallel * spatial_parallel != n:
+    need = data_parallel * spatial_parallel
+    if need > n:
         raise ValueError(
-            f"data_parallel*spatial_parallel = {data_parallel * spatial_parallel} != {n} devices")
-    arr = np.asarray(devices).reshape(data_parallel, spatial_parallel)
+            f"data_parallel*spatial_parallel = {need} exceeds {n} devices")
+    arr = np.asarray(devices[:need]).reshape(data_parallel, spatial_parallel)
     return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
 
 

@@ -47,8 +47,10 @@ def test_mesh_shapes():
     assert mesh2.devices.shape == (4, 2)
     with pytest.raises(ValueError):
         make_mesh(spatial_parallel=3)
+    # explicit sizes may use a device subset
+    assert make_mesh(data_parallel=3, spatial_parallel=2).devices.shape == (3, 2)
     with pytest.raises(ValueError):
-        make_mesh(data_parallel=3, spatial_parallel=2)
+        make_mesh(data_parallel=5, spatial_parallel=2)
 
 
 def _run_train(state, step_fn, x, y, n=3):
