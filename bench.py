@@ -66,17 +66,12 @@ def main():
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.asarray(0, jnp.int32), rng=jax.random.PRNGKey(1))
 
-    for _ in range(warmup):
-        state, m = step(state, x, y)
-    jax.block_until_ready(m["loss"])
+    # NOTE: jax.block_until_ready is unreliable on the axon remote platform
+    # (returns before device completion); time with forced value readback.
+    from nas_3d_unet_tpu.utils.timing import time_step_chain
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, x, y)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
-
-    pps = iters * batch / dt
+    dt, state = time_step_chain(step, state, x, y, iters=iters, warmup=warmup)
+    pps = batch / dt
     prev = _prev_baseline()
     print(json.dumps({
         "metric": "derived_train_patches_per_sec_per_chip_128c_bf16",

@@ -41,16 +41,22 @@ class MixedOp(nn.Module):
     norm: str = "group"
     gn_groups: int = 8
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, weights: Array) -> Array:
-        outs = [
-            make_op(name, self.features, self.norm, self.gn_groups, self.dtype)(x)
-            for name in self.op_names
-        ]
-        stacked = jnp.stack(outs, axis=0)  # (O, B, D, H, W, C)
-        w = weights.astype(stacked.dtype)
-        return jnp.tensordot(w, stacked, axes=1)
+        # Weighted sum written as a chain of multiply-adds (NOT stack +
+        # tensordot): XLA then fuses each w_o·op_o(x) into the producing
+        # op's epilogue instead of materializing an (O, B, D, H, W, C)
+        # buffer — the supernet's dominant activation-memory term
+        # (SURVEY.md §7 hard-part 2).
+        acc = None
+        for o, name in enumerate(self.op_names):
+            out = make_op(name, self.features, self.norm, self.gn_groups,
+                          self.dtype, self.use_pallas)(x)
+            term = weights[o].astype(out.dtype) * out
+            acc = term if acc is None else acc + term
+        return acc
 
 
 class _CellBase(nn.Module):
@@ -59,6 +65,7 @@ class _CellBase(nn.Module):
     norm: str = "group"
     gn_groups: int = 8
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     def _pre(self, x: Array, stride: int = 1) -> Array:
         """1³ conv projection of a cell input to `features` channels."""
@@ -66,10 +73,12 @@ class _CellBase(nn.Module):
                            self.gn_groups, self.dtype)(x)
 
     def _mixed(self, ops: Sequence[str]) -> "MixedOp":
-        return MixedOp(self.features, ops, self.norm, self.gn_groups, self.dtype)
+        return MixedOp(self.features, ops, self.norm, self.gn_groups, self.dtype,
+                       self.use_pallas)
 
     def _fixed(self, op_name: str) -> nn.Module:
-        return make_op(op_name, self.features, self.norm, self.gn_groups, self.dtype)
+        return make_op(op_name, self.features, self.norm, self.gn_groups,
+                       self.dtype, self.use_pallas)
 
 
 class SuperDownCell(_CellBase):

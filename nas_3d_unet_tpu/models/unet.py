@@ -43,6 +43,7 @@ class _UNetBase(nn.Module):
     gn_groups: int = 8
     dtype_name: str = "float32"
     remat: bool = True
+    use_pallas: bool = False
 
     @property
     def compute_dtype(self) -> jnp.dtype:
@@ -72,6 +73,7 @@ class _UNetBase(nn.Module):
             norm=self.norm,
             gn_groups=self.gn_groups,
             dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
         )
 
 
@@ -147,6 +149,7 @@ def make_supernet(model_cfg, num_classes: int) -> SuperNet:
         gn_groups=model_cfg.gn_groups,
         dtype_name=model_cfg.dtype,
         remat=model_cfg.remat,
+        use_pallas=model_cfg.use_pallas,
     )
 
 
@@ -163,4 +166,5 @@ def make_derived(model_cfg, num_classes: int, genotype: Genotype,
         gn_groups=model_cfg.gn_groups,
         dtype_name=dtype_override or model_cfg.dtype,
         remat=model_cfg.remat,
+        use_pallas=model_cfg.use_pallas,
     )

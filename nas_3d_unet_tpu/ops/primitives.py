@@ -31,6 +31,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .pallas.conv3d import conv3d as pallas_conv3d
+from .pallas.conv3d import conv3d_pallas_viable, conv_transpose2x, pointwise_conv
+
 Array = jax.Array
 
 
@@ -59,6 +62,53 @@ def _gn_groups_for(channels: int, groups: int) -> int:
     return g
 
 
+class PallasPointwise(nn.Module):
+    """1³ conv with nn.Conv's param tree, Pallas matmul forward."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c_in = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, 1, c_in, self.features), jnp.float32)
+        return pointwise_conv(x.astype(self.dtype),
+                              w.reshape(c_in, self.features).astype(self.dtype))
+
+
+class PallasTranspose2x(nn.Module):
+    """k2s2 transpose conv with nn.ConvTranspose's param tree, Pallas forward."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (2, 2, 2, x.shape[-1], self.features), jnp.float32)
+        return conv_transpose2x(x.astype(self.dtype), w.astype(self.dtype))
+
+
+class PallasConv3(nn.Module):
+    """3³ conv with the same param tree as nn.Conv (kernel name/shape), but
+    a Pallas MXU forward when the shape is viable (ops/pallas/conv3d.py);
+    falls back to the XLA reference inside conv3d otherwise."""
+
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, 3, x.shape[-1], self.features), jnp.float32)
+        x = x.astype(self.dtype)
+        return pallas_conv3d(x, w.astype(self.dtype), None,
+                             self.stride, self.dilation, False)
+
+
 class ConvNormAct(nn.Module):
     """conv3d → GroupNorm → ReLU.  The basic building block of every conv op."""
 
@@ -71,20 +121,28 @@ class ConvNormAct(nn.Module):
     gn_groups: int = 8
     dtype: jnp.dtype = jnp.float32
     act: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.Conv(
-            self.features,
-            kernel_size=(self.kernel,) * 3,
-            strides=(self.stride,) * 3,
-            kernel_dilation=(self.dilation,) * 3,
-            feature_group_count=self.groups,
-            padding="SAME",
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        # both branches name the module "conv" with param "kernel", so the
+        # checkpoint pytree is identical whichever path a config picks
+        if self.use_pallas and self.kernel == 3 and self.groups == 1:
+            x = PallasConv3(self.features, self.stride, self.dilation,
+                            self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=(self.kernel,) * 3,
+                strides=(self.stride,) * 3,
+                kernel_dilation=(self.dilation,) * 3,
+                feature_group_count=self.groups,
+                padding="SAME",
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         x = _norm(self.norm, self.gn_groups, self.dtype)(self.features)(x)
         if self.act:
             x = nn.relu(x)
@@ -99,6 +157,7 @@ class SepConv(nn.Module):
     norm: str = "group"
     gn_groups: int = 8
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -112,15 +171,20 @@ class SepConv(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            name="dw",
         )(x)
-        x = nn.Conv(
-            self.features,
-            kernel_size=(1, 1, 1),
-            padding="SAME",
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        if self.use_pallas:
+            x = PallasPointwise(self.features, self.dtype, name="pw")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=(1, 1, 1),
+                padding="SAME",
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="pw",
+            )(x)
         x = _norm(self.norm, self.gn_groups, self.dtype)(self.features)(x)
         return nn.relu(x)
 
@@ -167,18 +231,23 @@ class UpTranspose(nn.Module):
     norm: str = "group"
     gn_groups: int = 8
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.ConvTranspose(
-            self.features,
-            kernel_size=(2, 2, 2),
-            strides=(2, 2, 2),
-            padding="VALID",
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        if self.use_pallas:
+            x = PallasTranspose2x(self.features, self.dtype, name="deconv")(x)
+        else:
+            x = nn.ConvTranspose(
+                self.features,
+                kernel_size=(2, 2, 2),
+                strides=(2, 2, 2),
+                padding="VALID",
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="deconv",
+            )(x)
         x = _norm(self.norm, self.gn_groups, self.dtype)(self.features)(x)
         return nn.relu(x)
 
@@ -191,14 +260,17 @@ class UpSampleConv(nn.Module):
     norm: str = "group"
     gn_groups: int = 8
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, d, h, w, c = x.shape
         x = jax.image.resize(x, (b, 2 * d, 2 * h, 2 * w, c), method="trilinear")
         if self.separable:
-            return SepConv(self.features, 1, self.norm, self.gn_groups, self.dtype)(x)
-        return ConvNormAct(self.features, 3, 1, 1, 1, self.norm, self.gn_groups, self.dtype)(x)
+            return SepConv(self.features, 1, self.norm, self.gn_groups, self.dtype,
+                           self.use_pallas)(x)
+        return ConvNormAct(self.features, 3, 1, 1, 1, self.norm, self.gn_groups,
+                           self.dtype, True, self.use_pallas)(x)
 
 
 # ---------------------------------------------------------------------------
@@ -231,29 +303,29 @@ UP_OPS: Sequence[str] = (
 
 _FACTORIES = {
     # normal (stride 1)
-    "none": lambda c, n, g, dt: Zero(stride=1),
-    "identity": lambda c, n, g, dt: Identity(),
-    "conv3": lambda c, n, g, dt: ConvNormAct(c, 3, 1, 1, 1, n, g, dt),
-    "dil_conv3": lambda c, n, g, dt: ConvNormAct(c, 3, 1, 2, 1, n, g, dt),
-    "sep_conv3": lambda c, n, g, dt: SepConv(c, 1, n, g, dt),
-    "avg_pool3": lambda c, n, g, dt: Pool("avg", 1),
-    "max_pool3": lambda c, n, g, dt: Pool("max", 1),
+    "none": lambda c, n, g, dt, up: Zero(stride=1),
+    "identity": lambda c, n, g, dt, up: Identity(),
+    "conv3": lambda c, n, g, dt, up: ConvNormAct(c, 3, 1, 1, 1, n, g, dt, True, up),
+    "dil_conv3": lambda c, n, g, dt, up: ConvNormAct(c, 3, 1, 2, 1, n, g, dt, True, up),
+    "sep_conv3": lambda c, n, g, dt, up: SepConv(c, 1, n, g, dt, up),
+    "avg_pool3": lambda c, n, g, dt, up: Pool("avg", 1),
+    "max_pool3": lambda c, n, g, dt, up: Pool("max", 1),
     # down (stride 2)
-    "down_avg_pool": lambda c, n, g, dt: Pool("avg", 2),
-    "down_max_pool": lambda c, n, g, dt: Pool("max", 2),
-    "down_conv3": lambda c, n, g, dt: ConvNormAct(c, 3, 2, 1, 1, n, g, dt),
-    "down_dil_conv3": lambda c, n, g, dt: ConvNormAct(c, 3, 2, 2, 1, n, g, dt),
-    "down_sep_conv3": lambda c, n, g, dt: SepConv(c, 2, n, g, dt),
+    "down_avg_pool": lambda c, n, g, dt, up: Pool("avg", 2),
+    "down_max_pool": lambda c, n, g, dt, up: Pool("max", 2),
+    "down_conv3": lambda c, n, g, dt, up: ConvNormAct(c, 3, 2, 1, 1, n, g, dt, True, up),
+    "down_dil_conv3": lambda c, n, g, dt, up: ConvNormAct(c, 3, 2, 2, 1, n, g, dt, True, up),
+    "down_sep_conv3": lambda c, n, g, dt, up: SepConv(c, 2, n, g, dt, up),
     # up (2x)
-    "up_transpose": lambda c, n, g, dt: UpTranspose(c, n, g, dt),
-    "up_conv3": lambda c, n, g, dt: UpSampleConv(c, False, n, g, dt),
-    "up_sep_conv3": lambda c, n, g, dt: UpSampleConv(c, True, n, g, dt),
+    "up_transpose": lambda c, n, g, dt, up: UpTranspose(c, n, g, dt, up),
+    "up_conv3": lambda c, n, g, dt, up: UpSampleConv(c, False, n, g, dt, up),
+    "up_sep_conv3": lambda c, n, g, dt, up: UpSampleConv(c, True, n, g, dt, up),
 }
 
 
 def make_op(name: str, features: int, norm: str = "group", gn_groups: int = 8,
-            dtype: jnp.dtype = jnp.float32) -> nn.Module:
+            dtype: jnp.dtype = jnp.float32, use_pallas: bool = False) -> nn.Module:
     """Instantiate a candidate op by registry name."""
     if name not in _FACTORIES:
         raise KeyError(f"unknown op {name!r}")
-    return _FACTORIES[name](features, norm, gn_groups, dtype)
+    return _FACTORIES[name](features, norm, gn_groups, dtype, use_pallas)
