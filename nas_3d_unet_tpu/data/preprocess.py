@@ -24,9 +24,15 @@ import h5py
 import numpy as np
 
 from ..io.nifti import read_nifti
+from .native import available as _native_available
+from .native import union_bbox_native, zscore_native
 
 MODALITIES = ("t1", "t1ce", "t2", "flair")
 SEG_SUFFIX = "seg"
+
+
+def _use_native() -> bool:
+    return _native_available() and not os.environ.get("NAS3D_NO_NATIVE")
 
 
 def zscore_in_mask(vol: np.ndarray, mask: Optional[np.ndarray] = None) -> np.ndarray:
@@ -36,6 +42,10 @@ def zscore_in_mask(vol: np.ndarray, mask: Optional[np.ndarray] = None) -> np.nda
     """
     vol = vol.astype(np.float32)
     if mask is None:
+        if _use_native():  # C++/OpenMP fast path (data/native/preproc.cpp)
+            out = zscore_native(vol)
+            if out is not None:
+                return out
         mask = vol != 0
     vals = vol[mask]
     if vals.size == 0:
@@ -71,15 +81,17 @@ def preprocess_arrays(
     Exposed separately so tests can oracle-check it without touching disk.
     """
     orig_shape = np.array(modality_vols[0].shape, dtype=np.int64)
-    union = np.zeros(modality_vols[0].shape, dtype=bool)
-    for v in modality_vols:
-        union |= np.asarray(v) != 0
-    bbox = foreground_bbox(union)
+    vols32 = [np.ascontiguousarray(v, dtype=np.float32) for v in modality_vols]
+    bbox = union_bbox_native(vols32) if _use_native() else None
+    if bbox is None:
+        union = np.zeros(vols32[0].shape, dtype=bool)
+        for v in vols32:
+            union |= v != 0
+        bbox = foreground_bbox(union)
 
     channels = []
-    for v in modality_vols:
-        v = np.asarray(v)
-        norm = zscore_in_mask(v, v != 0)
+    for v in vols32:
+        norm = zscore_in_mask(v)
         channels.append(norm[bbox])
     image = np.stack(channels, axis=-1).astype(np.float32)  # (D,H,W,4)
 
