@@ -53,7 +53,9 @@ def grid_coords(shape: Sequence[int], patch: Sequence[int], stride: Sequence[int
     return np.asarray(coords, dtype=np.int32)
 
 
-@partial(jax.jit, static_argnames=("forward_fn", "patch", "batch_size", "num_classes"))
+@partial(jax.jit,
+         static_argnames=("forward_fn", "patch", "batch_size", "num_classes",
+                          "batch_sharding"))
 def _stitch(
     volume: Array,            # (D, H, W, C) fp32, already padded to >= patch
     coords: Array,            # (Nb, B, 3) int32, batched patch starts
@@ -62,6 +64,7 @@ def _stitch(
     patch: Tuple[int, int, int],
     batch_size: int,
     num_classes: int,
+    batch_sharding=None,      # NamedSharding: shard the patch batch (DP infer)
 ) -> Tuple[Array, Array]:
     """Scan over coord batches; accumulate prob sums and counts on device."""
     d, h, w, _ = volume.shape
@@ -76,6 +79,11 @@ def _stitch(
         sums, cnts = carry
         cs, ws = batch
         patches = jax.vmap(gather_patch)(cs)              # (B, p, p, p, C)
+        if batch_sharding is not None:
+            # GSPMD data-parallel inference: the patch batch (and thus the
+            # model forward) shards over the mesh; per-patch math is
+            # unchanged, so results stay bit-identical to single-device
+            patches = jax.lax.with_sharding_constraint(patches, batch_sharding)
         probs = forward_fn(patches).astype(jnp.float32)   # (B, p, p, p, K)
 
         def add_one(i, bufs):
@@ -104,6 +112,7 @@ def sliding_window_probs(
     overlap: float = 0.5,
     batch_size: int = 4,
     num_classes: int = 3,
+    batch_sharding=None,
 ) -> np.ndarray:
     """Whole-volume averaged probabilities, (D, H, W, K) fp32.
 
@@ -136,7 +145,7 @@ def sliding_window_probs(
     sums, cnts = _stitch(
         jnp.asarray(volume), jnp.asarray(coords), jnp.asarray(weights),
         forward_fn=forward_fn, patch=patch, batch_size=batch_size,
-        num_classes=num_classes)
+        num_classes=num_classes, batch_sharding=batch_sharding)
     probs = np.asarray(sums) / np.asarray(cnts)           # single divide
     return probs[: orig_shape[0], : orig_shape[1], : orig_shape[2]]
 
@@ -145,11 +154,15 @@ class SlidingWindowPredictor:
     """Convenience wrapper binding a model apply-fn + params."""
 
     def __init__(self, apply_fn, params, patch_size, overlap=0.5, batch_size=4,
-                 num_classes=3):
+                 num_classes=3, batch_sharding=None):
+        """`batch_sharding`: optional NamedSharding over the patch-batch axis
+        for GSPMD data-parallel inference (batch_size must be a multiple of
+        the data-axis size)."""
         self.patch_size = tuple(patch_size)
         self.overlap = overlap
         self.batch_size = batch_size
         self.num_classes = num_classes
+        self.batch_sharding = batch_sharding
         self._params = params
         self._apply = apply_fn
 
@@ -160,4 +173,4 @@ class SlidingWindowPredictor:
     def predict_volume(self, volume: np.ndarray) -> np.ndarray:
         return sliding_window_probs(
             self.forward_probs, volume, self.patch_size, self.overlap,
-            self.batch_size, self.num_classes)
+            self.batch_size, self.num_classes, self.batch_sharding)

@@ -1,1 +1,7 @@
-from .bilevel import SearchState, Searcher, make_search_step, make_warmup_step  # noqa: F401
+from .bilevel import (  # noqa: F401
+    SearchState,
+    Searcher,
+    make_search_step,
+    make_search_step_unrolled,
+    make_warmup_step,
+)

@@ -88,6 +88,53 @@ def make_search_step(apply_fn: Callable, w_tx: optax.GradientTransformation,
     return search_step
 
 
+def make_search_step_unrolled(apply_fn: Callable, w_tx: optax.GradientTransformation,
+                              a_tx: optax.GradientTransformation, xi: float,
+                              augment: Optional[dict] = None):
+    """Second-order DARTS step (the reference runs first-order; this is the
+    paper's unrolled objective, exact rather than finite-difference):
+
+        ∇_α L_val(w − ξ·∇_w L_train(w, α), α)
+
+    JAX differentiates straight through the inner gradient (reverse-over-
+    reverse Hessian-vector products), so no finite-difference approximation
+    is needed.  ~2× the compute/memory of the first-order step.
+    """
+
+    def loss_fn(params, alphas, x, y):
+        logits = apply_fn(params, x, arch_weights_from_alphas(alphas))
+        return dice_ce_loss(logits, y)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def search_step(state: SearchState, x_tr: Array, y_tr: Array,
+                    x_val: Array, y_val: Array) -> Tuple[SearchState, Dict[str, Array]]:
+        rng, k1, k2 = jax.random.split(state.rng, 3)
+        if augment is not None:
+            x_tr, y_tr = augment_batch(k1, x_tr, y_tr, **augment)
+            x_val, y_val = augment_batch(k2, x_val, y_val, **augment)
+
+        def val_after_virtual_step(alphas):
+            g_w = jax.grad(loss_fn, argnums=0)(state.params, alphas, x_tr, y_tr)
+            w_virt = jax.tree_util.tree_map(lambda p, g: p - xi * g,
+                                            state.params, g_w)
+            return loss_fn(w_virt, alphas, x_val, y_val)
+
+        val_loss, a_grads = jax.value_and_grad(val_after_virtual_step)(state.alphas)
+        a_updates, a_opt = a_tx.update(a_grads, state.a_opt, state.alphas)
+        alphas = optax.apply_updates(state.alphas, a_updates)
+
+        train_loss, w_grads = jax.value_and_grad(loss_fn, argnums=0)(
+            state.params, alphas, x_tr, y_tr)
+        w_updates, w_opt = w_tx.update(w_grads, state.w_opt, state.params)
+        params = optax.apply_updates(state.params, w_updates)
+
+        new_state = SearchState(params=params, w_opt=w_opt, alphas=alphas,
+                                a_opt=a_opt, step=state.step + 1, rng=rng)
+        return new_state, {"train_loss": train_loss, "val_loss": val_loss}
+
+    return search_step
+
+
 def make_warmup_step(apply_fn: Callable, w_tx: optax.GradientTransformation,
                      augment: Optional[dict] = None):
     """w-only update (α frozen) for the warmup epochs."""
@@ -136,7 +183,13 @@ class Searcher:
         self.a_tx = optax.adamw(sc.alpha_lr, weight_decay=sc.alpha_weight_decay)
         aug = (dict(flip_prob=dc.flip_prob, intensity_shift=dc.intensity_shift,
                     intensity_scale=dc.intensity_scale) if device_augment else None)
-        self.search_step = make_search_step(supernet.apply, self.w_tx, self.a_tx, aug)
+        if getattr(sc, "unrolled", False):
+            xi = sc.xi if getattr(sc, "xi", 0.0) > 0 else sc.w_lr
+            self.search_step = make_search_step_unrolled(
+                supernet.apply, self.w_tx, self.a_tx, xi, aug)
+        else:
+            self.search_step = make_search_step(supernet.apply, self.w_tx,
+                                                self.a_tx, aug)
         self.warmup_step = make_warmup_step(supernet.apply, self.w_tx, aug)
         self.logger = MetricsLogger(log_path)
 

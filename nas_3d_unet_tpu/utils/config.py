@@ -68,6 +68,8 @@ class SearchConfig:
     w_weight_decay: float = 1e-4
     alpha_lr: float = 3e-4
     alpha_weight_decay: float = 1e-3
+    unrolled: bool = False                    # second-order DARTS (ref: first-order)
+    xi: float = 0.0                           # virtual-step lr; 0 -> use w_lr
     warmup_epochs: int = 5                    # epochs of w-only updates before alpha
     checkpoint_dir: str = "ckpt/search"
     checkpoint_every: int = 1                 # epochs

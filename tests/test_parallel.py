@@ -131,3 +131,25 @@ def test_dp_search_step_matches_single_device():
     for k in s1.alphas:
         np.testing.assert_allclose(np.asarray(s1.alphas[k]), np.asarray(s2.alphas[k]),
                                    atol=2e-6)
+
+
+def test_dp_sliding_window_inference_bitexact():
+    """Data-parallel patch batches produce bit-identical stitched output."""
+    from nas_3d_unet_tpu.infer.sliding import sliding_window_probs
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(0)
+    vol = rng.standard_normal((12, 10, 9, 4)).astype(np.float32)
+
+    def forward(x):
+        return x[..., :3] * jnp.float32(0.5) + jnp.float32(0.25)
+
+    plain = sliding_window_probs(forward, vol, (8, 8, 8), 0.5, batch_size=8,
+                                 num_classes=3)
+    mesh = make_mesh()
+    sharding = NamedSharding(mesh, P("data", None, None, None, None))
+    with mesh:
+        sharded = sliding_window_probs(forward, vol, (8, 8, 8), 0.5,
+                                       batch_size=8, num_classes=3,
+                                       batch_sharding=sharding)
+    np.testing.assert_array_equal(plain, sharded)

@@ -121,3 +121,40 @@ def test_searcher_end_to_end(tmp_path):
     searcher2 = Searcher(net, cfg, paths, log_path=str(tmp_path / "slog.jsonl"))
     state2, _ = searcher2.search(epochs=3, steps_per_epoch=4)
     assert int(state2.step) == 12
+
+
+def test_second_order_step_runs_and_differs():
+    from nas_3d_unet_tpu.search.bilevel import make_search_step_unrolled
+
+    net = tiny_supernet()
+    w_tx, a_tx = optax.adamw(1e-3), optax.adamw(3e-3)
+    step1 = make_search_step(net.apply, w_tx, a_tx)
+    step2 = make_search_step_unrolled(net.apply, w_tx, a_tx, xi=1e-3)
+    x_tr, y_tr = batches(0)
+    x_val, y_val = batches(1)
+
+    s1, m1 = step1(make_state(net, w_tx, a_tx), x_tr, y_tr, x_val, y_val)
+    s2, m2 = step2(make_state(net, w_tx, a_tx), x_tr, y_tr, x_val, y_val)
+    assert np.isfinite(float(m2["train_loss"])) and np.isfinite(float(m2["val_loss"]))
+    # the unrolled alpha-gradient includes the Hessian-vector correction,
+    # so alpha trajectories must differ from first-order
+    diff = max(float(jnp.abs(s1.alphas[k] - s2.alphas[k]).max()) for k in s1.alphas)
+    assert diff > 0
+
+
+def test_searcher_unrolled_config(tmp_path):
+    from tests.helpers import write_synthetic_h5
+
+    paths = write_synthetic_h5(str(tmp_path / "h5"), n_patients=2)
+    cfg = load_config(None, overrides={
+        "data.patch_size": (8, 8, 8), "data.batch_size": 1, "data.val_fraction": 0.5,
+        "model.base_channels": 4, "model.depth": 1, "model.n_nodes": 2,
+        "model.gn_groups": 4, "model.dtype": "float32", "model.remat": False,
+        "search.warmup_epochs": 0, "search.unrolled": True,
+        "search.checkpoint_dir": str(tmp_path / "ckpt")})
+    net = SuperNet(in_channels=4, num_classes=3, base_channels=4, depth=1,
+                   n_nodes=2, gn_groups=4, remat=False, dtype_name="float32")
+    searcher = Searcher(net, cfg, paths)
+    state, geno = searcher.search(epochs=1, steps_per_epoch=2)
+    assert int(state.step) == 2
+    geno.validate()

@@ -162,3 +162,17 @@ def test_trainer_end_to_end_synthetic(tmp_path):
     events = [json.loads(l) for l in open(tmp_path / "log.jsonl")]
     assert any(e.get("event") == "epoch" for e in events)
     assert any(e.get("event") == "resume" for e in events)
+
+
+def test_latest_checkpoint_ignores_partial_tmp(tmp_path):
+    """A crash mid-write leaves only *.tmp, which resume must ignore."""
+    net = tiny_net()
+    tx = make_optimizer(1e-3, 0.0)
+    state = init_state(net, tx)
+    save_checkpoint(str(tmp_path), 5, state)
+    # simulate a torn write from a crashed later step
+    (tmp_path / "ckpt_9.msgpack.tmp").write_bytes(b"garbage")
+    found = latest_checkpoint(str(tmp_path))
+    assert found is not None and found[0] == 5
+    restored = load_checkpoint(found[1], init_state(net, tx))
+    assert int(jax.device_get(restored.step)) == int(jax.device_get(state.step))
