@@ -18,6 +18,13 @@ import sys
 import time
 
 import jax
+
+# persistent compile cache: the axon remote compile of the full train step
+# takes minutes cold; cached reruns take seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..metrics.dice import labels_to_regions
+from ..metrics.dice import labels_to_class_indices, labels_to_regions
 from .preprocess import load_patient_h5
 
 Array = jax.Array
@@ -64,8 +64,9 @@ class PatientCache:
                     item["label"] = np.asarray(
                         labels_to_regions(jnp.asarray(rec["label"].astype(np.int32))),
                         dtype=np.float32)
-                else:
-                    item["label"] = rec["label"].astype(np.int32)
+                else:  # "classes": BraTS {0,1,2,4} → class indices {0,1,2,3}
+                    item["label"] = np.asarray(labels_to_class_indices(
+                        jnp.asarray(rec["label"].astype(np.int32))))
             self.records.append(item)
 
     def __len__(self) -> int:

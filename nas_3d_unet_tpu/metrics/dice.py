@@ -84,6 +84,31 @@ def dice_ce_loss(logits: jnp.ndarray, targets: jnp.ndarray, smooth: float = SMOO
     return dice + bce
 
 
+def softmax_dice_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                         num_classes: int = 4, smooth: float = SMOOTH) -> jnp.ndarray:
+    """Dice + CE for mutually-exclusive class labels (label_mode="classes").
+
+    logits: (B, D, H, W, K) over BraTS class indices {0..K-1} (4 maps to
+    index 3); labels: (B, D, H, W) int class indices.
+    """
+    logits32 = logits.astype(jnp.float32)
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    probs = jax.nn.softmax(logits32, axis=-1)
+    dice = soft_dice_loss(probs, onehot, smooth)
+    ce = jnp.mean(optax.softmax_cross_entropy(logits32.reshape(-1, num_classes),
+                                              onehot.reshape(-1, num_classes)))
+    return dice + ce
+
+
+# BraTS stores labels {0,1,2,4}; class-index form packs 4 → 3.
+def labels_to_class_indices(labels: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(labels == 4, 3, labels).astype(jnp.int32)
+
+
+def class_indices_to_labels(idx: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(idx == 3, 4, idx).astype(jnp.uint8)
+
+
 def region_dice(pred_regions: jnp.ndarray, true_regions: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
     """Hard Dice coefficient per region channel.
 

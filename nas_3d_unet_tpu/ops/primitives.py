@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .pallas.conv3d import conv3d as pallas_conv3d
-from .pallas.conv3d import conv3d_pallas_viable, conv_transpose2x, pointwise_conv
+from .pallas.conv3d import conv_transpose2x, pointwise_conv
 
 Array = jax.Array
 

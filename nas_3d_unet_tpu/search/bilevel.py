@@ -37,6 +37,7 @@ from ..metrics.dice import dice_ce_loss
 from ..models.genotype import Genotype, init_alphas, parse_alphas
 from ..models.unet import arch_weights_from_alphas
 from ..utils.logging import MetricsLogger
+from ..utils.params import count_params
 from ..train.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 
 Array = jax.Array
@@ -225,6 +226,8 @@ class Searcher:
         steps_per_epoch = steps_per_epoch if steps_per_epoch is not None else sc.steps_per_epoch
 
         state = self.resume_or_init(jax.random.PRNGKey(sc.seed))
+        self.logger.log(event="model", params=count_params(state.params),
+                        alphas=count_params(state.alphas))
         start_epoch = int(state.step) // steps_per_epoch
         g_w = PatchGenerator(self.w_cache, self.patch, self.batch,
                              seed=sc.seed + 101 + start_epoch, augment=False)

@@ -12,7 +12,6 @@ numpy patch crop, overlapped via the Prefetcher.
 
 from __future__ import annotations
 
-import os
 import time
 from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -26,6 +25,7 @@ from flax import struct
 from ..data.pipeline import PatchGenerator, PatientCache, Prefetcher, augment_batch, split_patients
 from ..metrics.dice import dice_ce_loss, region_dice
 from ..utils.logging import MetricsLogger
+from ..utils.params import count_params
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 
 Array = jax.Array
@@ -185,6 +185,7 @@ class Trainer:
         steps_per_epoch = steps_per_epoch if steps_per_epoch is not None else tc.steps_per_epoch
 
         state = self.resume_or_init(jax.random.PRNGKey(tc.seed))
+        self.logger.log(event="model", params=count_params(state.params))
         start_epoch = int(state.step) // steps_per_epoch
         gtrain, gval = self._generators(tc.seed + start_epoch)
         prefetch = Prefetcher(gtrain, depth=2, sharding=self.sharding)

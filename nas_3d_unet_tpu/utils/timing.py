@@ -15,7 +15,6 @@ from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def fence(tree: Any) -> float:

@@ -65,3 +65,35 @@ def test_region_dice_known_value():
     d = np.asarray(region_dice(pred, true))
     np.testing.assert_allclose(d[0], 0.5, atol=1e-5)  # |∩|=2, 2*2/(4+4)
     np.testing.assert_allclose(d[1:], [1.0, 1.0])
+
+
+def test_softmax_class_mode_loss_and_mapping():
+    from nas_3d_unet_tpu.metrics.dice import (
+        class_indices_to_labels,
+        labels_to_class_indices,
+        softmax_dice_ce_loss,
+    )
+
+    labels = jnp.asarray(np.array([0, 1, 2, 4], dtype=np.int32))
+    idx = labels_to_class_indices(labels)
+    np.testing.assert_array_equal(np.asarray(idx), [0, 1, 2, 3])
+    np.testing.assert_array_equal(np.asarray(class_indices_to_labels(idx)),
+                                  np.asarray(labels))
+
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 4, (2, 4, 4, 4)).astype(np.int32)
+    good = jnp.asarray(20.0 * np.eye(4, dtype=np.float32)[y] - 10.0)
+    bad = jnp.asarray(rng.standard_normal((2, 4, 4, 4, 4)).astype(np.float32))
+    lg = float(softmax_dice_ce_loss(good, jnp.asarray(y)))
+    lb = float(softmax_dice_ce_loss(bad, jnp.asarray(y)))
+    assert np.isfinite(lg) and np.isfinite(lb) and lg < lb
+
+
+def test_class_mode_patient_cache(tmp_path):
+    from tests.helpers import write_synthetic_h5
+    from nas_3d_unet_tpu.data.pipeline import PatientCache
+
+    paths = write_synthetic_h5(str(tmp_path), n_patients=1)
+    cache = PatientCache(paths, label_mode="classes")
+    lab = cache.records[0]["label"]
+    assert lab.dtype == np.int32 and set(np.unique(lab)).issubset({0, 1, 2, 3})
