@@ -33,20 +33,40 @@ from flax import linen as nn
 
 from .pallas.conv3d import conv3d as pallas_conv3d
 from .pallas.conv3d import conv_transpose2x, pointwise_conv
+from .pallas.groupnorm import group_norm as pallas_group_norm
 
 Array = jax.Array
 
 
-def _norm(kind: str, gn_groups: int, dtype) -> Callable[[], nn.Module]:
-    if kind == "group":
+class PallasGroupNorm(nn.Module):
+    """GroupNorm with nn.GroupNorm's param tree ('scale'/'bias') and the
+    fused Pallas forward/backward (ops/pallas/groupnorm.py); shapes that
+    cannot lane-fuse fall back to the XLA reference inside group_norm."""
+
+    num_groups: int
+    dtype: jnp.dtype = jnp.float32
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return pallas_group_norm(x.astype(self.dtype), scale, bias,
+                                 self.num_groups, self.epsilon, False)
+
+
+def _norm(kind: str, gn_groups: int, dtype,
+          use_pallas: bool = False) -> Callable[[], nn.Module]:
+    if kind in ("group", "instance"):
         def make(c):
-            return nn.GroupNorm(num_groups=_gn_groups_for(c, gn_groups), dtype=dtype,
-                                param_dtype=jnp.float32)
-        return make
-    if kind == "instance":
-        # InstanceNorm == GroupNorm with one group per channel
-        def make(c):
-            return nn.GroupNorm(num_groups=c, dtype=dtype, param_dtype=jnp.float32)
+            groups = c if kind == "instance" else _gn_groups_for(c, gn_groups)
+            # both classes share the param tree; name fixed for checkpoint
+            # compatibility across the use_pallas flag
+            if use_pallas:
+                return PallasGroupNorm(num_groups=groups, dtype=dtype, name="norm")
+            return nn.GroupNorm(num_groups=groups, dtype=dtype,
+                                param_dtype=jnp.float32, name="norm")
         return make
     if kind == "none":
         def make(c):
@@ -143,7 +163,7 @@ class ConvNormAct(nn.Module):
                 param_dtype=jnp.float32,
                 name="conv",
             )(x)
-        x = _norm(self.norm, self.gn_groups, self.dtype)(self.features)(x)
+        x = _norm(self.norm, self.gn_groups, self.dtype, self.use_pallas)(self.features)(x)
         if self.act:
             x = nn.relu(x)
         return x
@@ -185,7 +205,7 @@ class SepConv(nn.Module):
                 param_dtype=jnp.float32,
                 name="pw",
             )(x)
-        x = _norm(self.norm, self.gn_groups, self.dtype)(self.features)(x)
+        x = _norm(self.norm, self.gn_groups, self.dtype, self.use_pallas)(self.features)(x)
         return nn.relu(x)
 
 
@@ -248,7 +268,7 @@ class UpTranspose(nn.Module):
                 param_dtype=jnp.float32,
                 name="deconv",
             )(x)
-        x = _norm(self.norm, self.gn_groups, self.dtype)(self.features)(x)
+        x = _norm(self.norm, self.gn_groups, self.dtype, self.use_pallas)(self.features)(x)
         return nn.relu(x)
 
 
