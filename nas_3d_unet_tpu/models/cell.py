@@ -27,8 +27,23 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.primitives import DOWN_OPS, NORMAL_OPS, UP_OPS, ConvNormAct, make_op
+from ..ops.primitives import (
+    DOWN_OPS,
+    NORMAL_OPS,
+    UP_OPS,
+    ConvNormAct,
+    _gn_groups_for,
+    make_op,
+)
 from .genotype import mid_index
+
+# Ops whose output channels can be widened so several edges sharing the same
+# (source, op) run as ONE op with EXACTLY equivalent math (independent kernel
+# slices + GN groups aligned to the channel split).  Separable convs are
+# excluded: merging would share the depthwise kernel, changing the model.
+# Parameter-free ops gain nothing from merging.
+_MERGEABLE = {"conv3", "dil_conv3", "down_conv3", "down_dil_conv3",
+              "up_transpose", "up_conv3"}
 
 Array = jax.Array
 
@@ -66,6 +81,7 @@ class _CellBase(nn.Module):
     gn_groups: int = 8
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    merge_ops: bool = False
 
     def _pre(self, x: Array, stride: int = 1) -> Array:
         """1³ conv projection of a cell input to `features` channels."""
@@ -79,6 +95,51 @@ class _CellBase(nn.Module):
     def _fixed(self, op_name: str) -> nn.Module:
         return make_op(op_name, self.features, self.norm, self.gn_groups,
                        self.dtype, self.use_pallas)
+
+    def _merged_edges(self, gene):
+        """Graph-level op merging (TPU lane-utilisation optimization).
+
+        Edges that share (source state, op name) are computed as ONE op with
+        k·C output channels, then split — mathematically identical to k
+        separate ops because (a) the conv kernels are independent slices of
+        the wider kernel and (b) GroupNorm groups are scaled k× so every
+        group stays inside one edge's channel block.  At small C this k-fold
+        widens the matmul N dimension (the MXU's 128-lane axis), and each
+        merge removes one op's pad/relayout overhead.  Enabled via
+        merge_ops; k==1 groups take the ordinary path.
+
+        Returns {(src, op): chunk-iterator} for groups with k >= 2.
+        """
+        from collections import Counter
+
+        counts = Counter()
+        for node_gene in gene:
+            for src, op_name in node_gene:
+                if op_name in _MERGEABLE:
+                    counts[(src, op_name)] += 1
+
+        merged = {}
+        c = self.features
+        g_eff = _gn_groups_for(c, self.gn_groups) if self.norm != "none" else self.gn_groups
+        for (src, op_name), k in counts.items():
+            if k < 2:
+                continue
+            op = make_op(op_name, k * c, self.norm, k * g_eff,
+                         self.dtype, self.use_pallas)
+            merged[(src, op_name)] = {"op": op, "next": 0, "out": None}
+        return merged
+
+    def _edge(self, merged, states, src: str, op_name: str) -> Array:
+        key = (src, op_name)
+        if key not in merged:
+            return self._fixed(op_name)(states[src])
+        slot = merged[key]
+        if slot["out"] is None:
+            slot["out"] = slot["op"](states[src])  # one wide op, computed once
+        c = self.features
+        i = slot["next"]
+        slot["next"] += 1
+        return slot["out"][..., i * c:(i + 1) * c]
 
 
 class SuperDownCell(_CellBase):
@@ -129,11 +190,12 @@ class DerivedDownCell(_CellBase):
         s0 = self._pre(s0, stride=2 if s0.shape[1] != s1.shape[1] else 1)
         s1 = self._pre(s1, stride=1)
         states = {"in0": s0, "in1": s1}
+        merged = self._merged_edges(self.gene) if self.merge_ops else {}
         nodes = []
         for i, node_gene in enumerate(self.gene):
             acc = None
             for src, op_name in node_gene:
-                y = self._fixed(op_name)(states[src])
+                y = self._edge(merged, states, src, op_name)
                 acc = y if acc is None else acc + y
             states[f"n{i}"] = acc
             nodes.append(acc)
@@ -152,11 +214,12 @@ class DerivedUpCell(_CellBase):
     @nn.compact
     def __call__(self, skip: Array, below: Array) -> Array:
         states = {"skip": self._pre(skip, 1), "below": self._pre(below, 1)}
+        merged = self._merged_edges(self.gene) if self.merge_ops else {}
         nodes = []
         for i, node_gene in enumerate(self.gene):
             acc = None
             for src, op_name in node_gene:
-                y = self._fixed(op_name)(states[src])
+                y = self._edge(merged, states, src, op_name)
                 acc = y if acc is None else acc + y
             states[f"n{i}"] = acc
             nodes.append(acc)

@@ -44,6 +44,7 @@ class _UNetBase(nn.Module):
     dtype_name: str = "float32"
     remat: bool = True
     use_pallas: bool = False
+    merge_ops: bool = True    # derived cells: exact graph-level op merging
 
     @property
     def compute_dtype(self) -> jnp.dtype:
@@ -75,6 +76,11 @@ class _UNetBase(nn.Module):
             dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
         )
+
+    def _derived_cell_kwargs(self, level: int) -> Dict[str, Any]:
+        kw = self._cell_kwargs(level)
+        kw["merge_ops"] = self.merge_ops
+        return kw
 
 
 class SuperNet(_UNetBase):
@@ -122,13 +128,13 @@ class DerivedNet(_UNetBase):
         feats = [stem]
         s_pp, s_p = stem, stem
         for level in range(1, self.depth + 1):
-            out = Down(gene=g.down, **self._cell_kwargs(level))(s_pp, s_p)
+            out = Down(gene=g.down, **self._derived_cell_kwargs(level))(s_pp, s_p)
             s_pp, s_p = s_p, out
             feats.append(out)
 
         below = feats[-1]
         for level in range(self.depth - 1, -1, -1):
-            below = Up(gene=g.up, **self._cell_kwargs(level))(feats[level], below)
+            below = Up(gene=g.up, **self._derived_cell_kwargs(level))(feats[level], below)
 
         return self._head(below)
 
@@ -167,4 +173,5 @@ def make_derived(model_cfg, num_classes: int, genotype: Genotype,
         dtype_name=dtype_override or model_cfg.dtype,
         remat=model_cfg.remat,
         use_pallas=model_cfg.use_pallas,
+        merge_ops=getattr(model_cfg, "merge_ops", True),
     )

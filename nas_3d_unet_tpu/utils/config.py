@@ -56,6 +56,7 @@ class ModelConfig:
     # compute dtype for activations; params/accum stay fp32
     dtype: str = "bfloat16"
     use_pallas: bool = False                  # Pallas kernels vs lax reference path
+    merge_ops: bool = True                    # exact op merging in derived cells
 
 
 @dataclass(frozen=True)
