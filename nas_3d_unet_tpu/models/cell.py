@@ -82,14 +82,23 @@ class _CellBase(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     merge_ops: bool = False
+    remat_edges: bool = False  # supernet: remat each MixedOp (peak-memory cap)
 
     def _pre(self, x: Array, stride: int = 1) -> Array:
         """1³ conv projection of a cell input to `features` channels."""
         return ConvNormAct(self.features, 1, stride, 1, 1, self.norm,
                            self.gn_groups, self.dtype)(x)
 
-    def _mixed(self, ops: Sequence[str]) -> "MixedOp":
-        return MixedOp(self.features, ops, self.norm, self.gn_groups, self.dtype,
+    def _mixed(self, ops: Sequence[str]) -> nn.Module:
+        # Always remat-wrap so the param tree is flag-independent; when
+        # disabled the everything-saveable policy makes it a memory no-op.
+        # Edge-level remat nests inside the cell-level remat: the supernet
+        # evaluates EVERY candidate op per edge, and without it a cell's
+        # backward rematerializes all edges' op outputs at once (OOM at
+        # 128³ — SURVEY.md §7 hard-part 2).
+        policy = None if self.remat_edges else jax.checkpoint_policies.everything_saveable
+        Wrapped = nn.remat(MixedOp, policy=policy)
+        return Wrapped(self.features, ops, self.norm, self.gn_groups, self.dtype,
                        self.use_pallas)
 
     def _fixed(self, op_name: str) -> nn.Module:

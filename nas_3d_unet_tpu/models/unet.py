@@ -98,13 +98,14 @@ class SuperNet(_UNetBase):
         feats = [stem]
         s_pp, s_p = stem, stem
         for level in range(1, self.depth + 1):
-            out = Down(**self._cell_kwargs(level))(s_pp, s_p, w["down_in"], w["down_mid"])
+            out = Down(remat_edges=self.remat, **self._cell_kwargs(level))(
+                s_pp, s_p, w["down_in"], w["down_mid"])
             s_pp, s_p = s_p, out
             feats.append(out)
 
         below = feats[-1]
         for level in range(self.depth - 1, -1, -1):
-            below = Up(**self._cell_kwargs(level))(
+            below = Up(remat_edges=self.remat, **self._cell_kwargs(level))(
                 feats[level], below, w["up_skip"], w["up_below"], w["up_mid"])
 
         return self._head(below)
