@@ -165,6 +165,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("-c", "--config", default=None, help="YAML config path")
         sp.add_argument("-o", "--override", action="append", default=[],
                         help="dotted config override, e.g. model.depth=4")
+        sp.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans (raises at the first NaN)")
         if name == "preprocess":
             sp.add_argument("-w", "--workers", type=int, default=0)
         sp.set_defaults(fn=fn)
@@ -173,6 +175,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "debug_nans", False):
+        from .utils.profiling import debug_nans
+
+        debug_nans(True)
     return args.fn(args)
 
 

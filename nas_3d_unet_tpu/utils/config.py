@@ -100,7 +100,7 @@ class InferConfig:
 
     patch_size: Tuple[int, int, int] = (128, 128, 128)
     overlap: float = 0.5                      # stride = patch * (1 - overlap)
-    batch_size: int = 4
+    batch_size: int = 2                       # 4 exceeds 16 GB HBM at 128³ fp32
     threshold: float = 0.5                    # region-prob threshold
     output_dir: str = "predictions"
     checkpoint_dir: str = "ckpt/train"
