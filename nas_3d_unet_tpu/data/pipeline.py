@@ -167,12 +167,16 @@ def augment_batch(key: Array, x: Array, y: Array, flip_prob: float = 0.5,
     return x * sc + sh, y
 
 
+_SENTINEL = object()
+
+
 class Prefetcher:
     """Background thread that assembles batches and stages them on device."""
 
     def __init__(self, generator: PatchGenerator, depth: int = 2, device=None,
                  sharding=None):
         self._gen = generator
+        self._error = None
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._device = device
@@ -188,18 +192,28 @@ class Prefetcher:
         return jax.device_put(arr)
 
     def _worker(self):
-        while not self._stop.is_set():
-            x, y = self._gen.next()
-            batch = (self._put(x), self._put(y) if y is not None else None)
+        try:
             while not self._stop.is_set():
-                try:
-                    self._q.put(batch, timeout=0.25)
-                    break
-                except queue.Full:
-                    continue
+                x, y = self._gen.next()
+                batch = (self._put(x), self._put(y) if y is not None else None)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # propagate instead of hanging next()
+            self._error = e
+            try:
+                self._q.put(_SENTINEL, timeout=1.0)
+            except queue.Full:
+                pass
 
     def next(self):
-        return self._q.get()
+        item = self._q.get()
+        if item is _SENTINEL:
+            raise RuntimeError("Prefetcher worker failed") from self._error
+        return item
 
     def close(self):
         self._stop.set()

@@ -173,10 +173,10 @@ def parse_alphas(alphas: Alphas, n_nodes: int) -> Genotype:
 
     down_nodes: List[Tuple[Tuple[str, str], ...]] = []
     for i in range(n_nodes):
-        cands = [
-            ("in0", *_edge_strength(a["down_in"][2 * i], DOWN_OPS, False)[::-1]),
-            ("in1", *_edge_strength(a["down_in"][2 * i + 1], DOWN_OPS, False)[::-1]),
-        ]
+        cands = []
+        for k, src in enumerate(("in0", "in1")):
+            s, op = _edge_strength(a["down_in"][2 * i + k], DOWN_OPS, False)
+            cands.append((src, op, s))
         for j in range(i):
             s, op = _edge_strength(a["down_mid"][mid_index(i, j)], NORMAL_OPS, True)
             cands.append((f"n{j}", op, s))

@@ -12,6 +12,7 @@ numpy patch crop, overlapped via the Prefetcher.
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -165,6 +166,15 @@ class Trainer:
         if ckpt is not None:
             step, path = ckpt
             state = load_checkpoint(path, state)
+            # restore the plateau controller too — otherwise the first
+            # post-resume epoch always looks like a new best and can
+            # overwrite the true best checkpoint
+            import json as _json
+            meta_path = os.path.join(self.cfg.train.checkpoint_dir, "metadata.json")
+            if os.path.exists(meta_path):
+                meta = _json.load(open(meta_path))
+                if "plateau" in meta:
+                    self.plateau.load_state_dict(meta["plateau"])
             self.logger.log(event="resume", step=step, path=path)
         return state
 

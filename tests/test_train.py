@@ -176,3 +176,44 @@ def test_latest_checkpoint_ignores_partial_tmp(tmp_path):
     assert found is not None and found[0] == 5
     restored = load_checkpoint(found[1], init_state(net, tx))
     assert int(jax.device_get(restored.step)) == int(jax.device_get(state.step))
+
+
+def test_resume_restores_plateau_state(tmp_path):
+    """Resume must not treat the first epoch as a fresh best (clobbering
+    the real best checkpoint)."""
+    from tests.helpers import write_synthetic_h5
+    from nas_3d_unet_tpu.utils.config import load_config as _lc
+
+    paths = write_synthetic_h5(str(tmp_path / "h5"), n_patients=2)
+    cfg = _lc(None, overrides={
+        "data.patch_size": (8, 8, 8), "data.batch_size": 1, "data.val_fraction": 0.5,
+        "model.base_channels": 4, "model.depth": 1, "model.n_nodes": 2,
+        "model.gn_groups": 4, "model.dtype": "float32", "model.remat": False,
+        "train.checkpoint_dir": str(tmp_path / "ckpt")})
+    geno = parse_alphas(init_alphas(jax.random.PRNGKey(0), 2), 2)
+    net = DerivedNet(genotype=geno, in_channels=4, num_classes=3, base_channels=4,
+                     depth=1, n_nodes=2, gn_groups=4, remat=False, dtype_name="float32")
+    tr = Trainer(net, cfg, paths)
+    tr.plateau.best = 0.75  # pretend a good epoch happened
+    from nas_3d_unet_tpu.train.checkpoint import save_checkpoint as _sc
+    st = tr.init_state(jax.random.PRNGKey(0))
+    _sc(str(tmp_path / "ckpt"), 1, st,
+        metadata={"plateau": tr.plateau.state_dict()})
+
+    tr2 = Trainer(net, cfg, paths)
+    tr2.resume_or_init(jax.random.PRNGKey(0))
+    assert tr2.plateau.best == 0.75
+
+
+def test_prefetcher_propagates_worker_error(tmp_path):
+    from tests.helpers import write_synthetic_h5
+    from nas_3d_unet_tpu.data.pipeline import PatchGenerator, PatientCache, Prefetcher
+    import pytest as _pytest
+
+    paths = write_synthetic_h5(str(tmp_path), n_patients=1)
+    g = PatchGenerator(PatientCache(paths), (8, 8, 8), 1, seed=0)
+    g.next = lambda: (_ for _ in ()).throw(ValueError("boom"))
+    pf = Prefetcher(g, depth=1)
+    with _pytest.raises(RuntimeError, match="Prefetcher worker failed"):
+        pf.next()
+    pf.close()
