@@ -153,3 +153,20 @@ def test_dp_sliding_window_inference_bitexact():
                                        batch_size=8, num_classes=3,
                                        batch_sharding=sharding)
     np.testing.assert_array_equal(plain, sharded)
+
+
+def test_spatial_sharded_forward_matches_single_device():
+    """Volume-axis (CP-analog) sharding: XLA inserts conv halo exchanges;
+    results must match the unsharded forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    net = tiny_derived()
+    x, _ = batch(b=2, p=16)
+    params = net.init(jax.random.PRNGKey(1), x)
+    want = net.apply(params, x)
+
+    mesh = make_mesh(spatial_parallel=2)
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "spatial", None, None, None)))
+    ps = replicate(mesh, params)
+    got = jax.jit(net.apply)(ps, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
