@@ -5,11 +5,13 @@ MixedOp-transformed outputs of prior states, with down-sampling (encoder)
 and up-sampling (decoder) variants (SURVEY.md §2 "MixedOp", "Cell").
 
 Supernet MixedOp: out = Σ_o w_o · op_o(x) with w = softmax(α) computed once
-per step outside the cell.  Implemented as a stack + tensordot so XLA fuses
-the weighted combine; per-cell `jax.checkpoint` (remat) keeps supernet
-activation memory bounded (SURVEY.md §7 hard-part 2).
+per step outside the cell.  Implemented as a multiply-add chain so XLA fuses
+each weighted term into the producing op's epilogue; per-cell AND per-edge
+`nn.remat` keep supernet activation memory bounded (SURVEY.md §7
+hard-part 2 — 128³ search fits one chip only with edge-level remat).
 
-Derived cells instantiate only the genotype-chosen op per edge.
+Derived cells instantiate only the genotype-chosen op per edge, with exact
+graph-level merging of edges that share (source, op) — see _merged_edges.
 
 Resolution contract:
   SuperDownCell / DerivedDownCell: inputs s0, s1 → output at half s1's res.
