@@ -140,7 +140,8 @@ def cmd_predict(args) -> int:
 
     predictor = SlidingWindowPredictor(
         net.apply, state.params, cfg.infer.patch_size, cfg.infer.overlap,
-        cfg.infer.batch_size, cfg.data.num_classes)
+        cfg.infer.batch_size, cfg.data.num_classes,
+        label_mode=cfg.data.label_mode)
     results = predict_dataset(predictor, cfg.data.processed_dir,
                               cfg.infer.output_dir, cfg.infer.threshold)
     dices = [r["dice"] for r in results if "dice" in r]

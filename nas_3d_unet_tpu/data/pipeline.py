@@ -120,7 +120,15 @@ class PatchGenerator:
         self.flip_prob = flip_prob
         self.shift = intensity_shift
         self.scale = intensity_scale
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
+
+    def clone(self, seed_offset: int) -> "PatchGenerator":
+        """Same sampling config, independent RNG stream (multi-worker use)."""
+        return PatchGenerator(self.cache, self.patch, self.batch_size,
+                              seed=self.seed + seed_offset, augment=self.augment,
+                              flip_prob=self.flip_prob, intensity_shift=self.shift,
+                              intensity_scale=self.scale)
 
     def next(self) -> Tuple[np.ndarray, np.ndarray]:
         xs, ys = [], []
@@ -171,18 +179,29 @@ _SENTINEL = object()
 
 
 class Prefetcher:
-    """Background thread that assembles batches and stages them on device."""
+    """Background thread(s) assembling batches and staging them on device.
+
+    workers=1 (default) keeps batch order deterministic.  workers>1 clones
+    the generator per worker (independent RNG streams) and interleaves their
+    batches nondeterministically — use when the device step outruns one
+    host thread's crop+augment throughput (numpy releases the GIL for the
+    large slice copies, so threads scale).
+    """
 
     def __init__(self, generator: PatchGenerator, depth: int = 2, device=None,
-                 sharding=None):
-        self._gen = generator
+                 sharding=None, workers: int = 1):
         self._error = None
-        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, workers))
         self._stop = threading.Event()
         self._device = device
         self._sharding = sharding
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        gens = [generator] if workers <= 1 else [
+            generator.clone(1000 * w) for w in range(workers)]
+        self._threads = [
+            threading.Thread(target=self._worker, args=(g,), daemon=True)
+            for g in gens]
+        for t in self._threads:
+            t.start()
 
     def _put(self, arr: np.ndarray) -> Array:
         if self._sharding is not None:
@@ -191,10 +210,10 @@ class Prefetcher:
             return jax.device_put(arr, self._device)
         return jax.device_put(arr)
 
-    def _worker(self):
+    def _worker(self, gen: PatchGenerator):
         try:
             while not self._stop.is_set():
-                x, y = self._gen.next()
+                x, y = gen.next()
                 batch = (self._put(x), self._put(y) if y is not None else None)
                 while not self._stop.is_set():
                     try:
@@ -222,7 +241,8 @@ class Prefetcher:
                 self._q.get_nowait()
         except queue.Empty:
             pass
-        self._thread.join(timeout=2.0)
+        for t in self._threads:
+            t.join(timeout=2.0)
 
 
 def dataset_paths(processed_dir: str, process_index: Optional[int] = None,

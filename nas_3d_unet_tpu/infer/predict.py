@@ -19,7 +19,8 @@ import numpy as np
 
 from ..data.preprocess import load_patient_h5
 from ..io.nifti import write_nifti
-from ..metrics.dice import labels_to_regions, region_dice, regions_to_labels
+from ..metrics.dice import (class_indices_to_labels, labels_to_regions,
+                            region_dice, regions_to_labels)
 from .sliding import SlidingWindowPredictor
 
 
@@ -40,11 +41,20 @@ def predict_patient(
     out_dir: Optional[str] = None,
     threshold: float = 0.5,
 ) -> Dict:
-    """One patient end-to-end; returns metrics + timing."""
+    """One patient end-to-end; returns metrics + timing.
+
+    Label decode follows the predictor's label_mode: region probabilities
+    are thresholded and nested-decoded; class probabilities are argmaxed
+    and remapped (index 3 → BraTS label 4).  Dice is reported per region
+    either way.
+    """
     rec = load_patient_h5(h5_path)
     t0 = time.perf_counter()
     probs = predictor.predict_volume(rec["image"])
-    labels = np.asarray(regions_to_labels(jnp.asarray(probs), threshold))
+    if getattr(predictor, "label_mode", "regions") == "classes":
+        labels = np.asarray(class_indices_to_labels(jnp.argmax(jnp.asarray(probs), axis=-1)))
+    else:
+        labels = np.asarray(regions_to_labels(jnp.asarray(probs), threshold))
     full = uncrop_labels(labels, rec["crop_start"], rec["orig_shape"])
     elapsed = time.perf_counter() - t0
 

@@ -154,20 +154,24 @@ class SlidingWindowPredictor:
     """Convenience wrapper binding a model apply-fn + params."""
 
     def __init__(self, apply_fn, params, patch_size, overlap=0.5, batch_size=4,
-                 num_classes=3, batch_sharding=None):
+                 num_classes=3, batch_sharding=None, label_mode="regions"):
         """`batch_sharding`: optional NamedSharding over the patch-batch axis
         for GSPMD data-parallel inference (batch_size must be a multiple of
-        the data-axis size)."""
+        the data-axis size).  `label_mode`: "regions" → sigmoid region
+        probabilities (K=3); "classes" → softmax class probabilities (K=4)."""
         self.patch_size = tuple(patch_size)
         self.overlap = overlap
         self.batch_size = batch_size
         self.num_classes = num_classes
         self.batch_sharding = batch_sharding
+        self.label_mode = label_mode
         self._params = params
         self._apply = apply_fn
 
     def forward_probs(self, patches: Array) -> Array:
         logits = self._apply(self._params, patches)
+        if self.label_mode == "classes":
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return jax.nn.sigmoid(logits.astype(jnp.float32))
 
     def predict_volume(self, volume: np.ndarray) -> np.ndarray:

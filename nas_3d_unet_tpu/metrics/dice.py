@@ -85,12 +85,13 @@ def dice_ce_loss(logits: jnp.ndarray, targets: jnp.ndarray, smooth: float = SMOO
 
 
 def softmax_dice_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray,
-                         num_classes: int = 4, smooth: float = SMOOTH) -> jnp.ndarray:
+                         smooth: float = SMOOTH) -> jnp.ndarray:
     """Dice + CE for mutually-exclusive class labels (label_mode="classes").
 
     logits: (B, D, H, W, K) over BraTS class indices {0..K-1} (4 maps to
     index 3); labels: (B, D, H, W) int class indices.
     """
+    num_classes = logits.shape[-1]
     logits32 = logits.astype(jnp.float32)
     onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
     probs = jax.nn.softmax(logits32, axis=-1)
@@ -98,6 +99,25 @@ def softmax_dice_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     ce = jnp.mean(optax.softmax_cross_entropy(logits32.reshape(-1, num_classes),
                                               onehot.reshape(-1, num_classes)))
     return dice + ce
+
+
+def get_loss_fn(label_mode: str):
+    """Training loss for a label encoding: sigmoid-region or softmax-class.
+
+    "regions" → `dice_ce_loss` on (B,D,H,W,3) region one-hots;
+    "classes" → `softmax_dice_ce_loss` on (B,D,H,W) int class indices.
+    """
+    if label_mode == "regions":
+        return dice_ce_loss
+    if label_mode == "classes":
+        return softmax_dice_ce_loss
+    raise ValueError(f"unknown label_mode {label_mode!r}")
+
+
+def class_logits_to_regions(logits: jnp.ndarray) -> jnp.ndarray:
+    """Class logits (..., 4) → hard region one-hot (..., 3) via argmax decode."""
+    labels = class_indices_to_labels(jnp.argmax(logits, axis=-1))
+    return labels_to_regions(labels.astype(jnp.int32))
 
 
 # BraTS stores labels {0,1,2,4}; class-index form packs 4 → 3.

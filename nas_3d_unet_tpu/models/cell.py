@@ -5,10 +5,18 @@ MixedOp-transformed outputs of prior states, with down-sampling (encoder)
 and up-sampling (decoder) variants (SURVEY.md §2 "MixedOp", "Cell").
 
 Supernet MixedOp: out = Σ_o w_o · op_o(x) with w = softmax(α) computed once
-per step outside the cell.  Implemented as a multiply-add chain so XLA fuses
-each weighted term into the producing op's epilogue; per-cell AND per-edge
-`nn.remat` keep supernet activation memory bounded (SURVEY.md §7
-hard-part 2 — 128³ search fits one chip only with edge-level remat).
+per step outside the cell.  Two exactly-equivalent implementations:
+  * merge_ops=True (default): source-major — per source state, each
+    conv-family candidate runs ONCE as a k·C-wide op covering all k outgoing
+    edges (independent kernel slices, GN groups aligned to the split),
+    parameter-free candidates compute once per source, and `none` (exactly
+    w·0) is skipped.  At small C this widens the MXU lane axis k-fold and
+    cuts op/pad/relayout count (SURVEY.md §2a item 3, the XLA-level fused
+    MixedOp).
+  * merge_ops=False: literal per-edge MixedOp chain (equivalence oracle).
+Per-cell AND per-edge/per-op `nn.remat` keep supernet activation memory
+bounded (SURVEY.md §7 hard-part 2 — 128³ search fits one chip only with
+edge-level remat).
 
 Derived cells instantiate only the genotype-chosen op per edge, with exact
 graph-level merging of edges that share (source, op) — see _merged_edges.
@@ -47,7 +55,79 @@ from .genotype import mid_index
 _MERGEABLE = {"conv3", "dil_conv3", "down_conv3", "down_dil_conv3",
               "up_transpose", "up_conv3"}
 
+# Parameter-free ops: identical output on every edge leaving a source, so the
+# supernet computes them ONCE per source (exact dedup).  "none" is handled
+# separately — its weighted contribution is exactly zero and is skipped.
+_NONPARAM = {"identity", "avg_pool3", "max_pool3", "down_avg_pool",
+             "down_max_pool"}
+
 Array = jax.Array
+
+
+class _SourceOps(nn.Module):
+    """All outgoing supernet edges of one source state, source-major.
+
+    Exact restructuring of per-edge MixedOps (the math is unchanged):
+      * conv-family candidates (_MERGEABLE) run as ONE op with k·C output
+        channels covering all k outgoing edges — independent kernel slices
+        and GN groups aligned to the channel split (same trick as
+        _merged_edges), so at small C the matmul N dimension (the MXU's
+        128-lane axis) widens k-fold and k−1 ops' pad/relayout overhead
+        disappears;
+      * parameter-free candidates compute once per source (every edge would
+        produce the identical tensor);
+      * `none` contributes exactly w·0 = 0 and is skipped (its α still
+        couples through the softmax normalization);
+      * separable convs keep per-edge parameters (merging would share the
+        depthwise kernel and change the model).
+
+    This module is the remat unit (wrapped by _CellBase._super_source): its
+    saved residuals are only the k C-channel edge contributions — the same
+    footprint as round-1's per-edge MixedOp remat; candidate outputs
+    (including the k·C-wide ones) live only transiently.
+    """
+
+    op_names: Sequence[str]
+    features: int
+    n_edges: int
+    norm: str = "group"
+    gn_groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, weights: Array) -> tuple:
+        """weights: (k, n_ops) softmax(α) rows, one per outgoing edge.
+        Returns the k weighted-sum edge contributions, in edge order."""
+        k, c = self.n_edges, self.features
+        outs: list = [None] * k
+
+        def acc(e: int, term: Array) -> None:
+            outs[e] = term if outs[e] is None else outs[e] + term
+
+        def op(name: str, feat: int, groups: int) -> nn.Module:
+            return make_op(name, feat, self.norm, groups, self.dtype,
+                           self.use_pallas)
+
+        for o, op_name in enumerate(self.op_names):
+            if op_name == "none":
+                continue
+            if op_name in _NONPARAM:
+                y = op(op_name, c, self.gn_groups)(x)
+                for e in range(k):
+                    acc(e, weights[e, o].astype(y.dtype) * y)
+            elif op_name in _MERGEABLE:
+                g_eff = (_gn_groups_for(c, self.gn_groups)
+                         if self.norm != "none" else self.gn_groups)
+                wide = op(op_name, k * c, k * g_eff)(x)
+                for e in range(k):
+                    sl = wide[..., e * c:(e + 1) * c]
+                    acc(e, weights[e, o].astype(sl.dtype) * sl)
+            else:  # per-edge parameters (separable convs)
+                for e in range(k):
+                    y = op(op_name, c, self.gn_groups)(x)
+                    acc(e, weights[e, o].astype(y.dtype) * y)
+        return tuple(outs)
 
 
 class MixedOp(nn.Module):
@@ -107,6 +187,24 @@ class _CellBase(nn.Module):
         return make_op(op_name, self.features, self.norm, self.gn_groups,
                        self.dtype, self.use_pallas)
 
+    def _super_source(self, x: Array, src_name: str, op_names: Sequence[str],
+                      weight_rows: Sequence[Array]) -> list:
+        """Remat-wrapped _SourceOps over one source's outgoing edges.
+
+        `weight_rows[e]` is the softmax(α) row of the e-th outgoing edge.
+        Returns the per-edge weighted-sum contributions, in edge order.
+        The remat boundary sits around the WHOLE source (not per candidate
+        op) so only the k C-channel contributions persist as residuals —
+        per-op remat would save every k·C-wide candidate output and OOM at
+        128³ (measured: 24.3 GiB vs the 15.75 GiB HBM).
+        """
+        policy = None if self.remat_edges else jax.checkpoint_policies.everything_saveable
+        Wrapped = nn.remat(_SourceOps, policy=policy)
+        mod = Wrapped(op_names, self.features, len(weight_rows), self.norm,
+                      self.gn_groups, self.dtype, self.use_pallas,
+                      name=f"src_{src_name}")
+        return list(mod(x, jnp.stack(weight_rows)))
+
     def _merged_edges(self, gene):
         """Graph-level op merging (TPU lane-utilisation optimization).
 
@@ -154,37 +252,95 @@ class _CellBase(nn.Module):
 
 
 class SuperDownCell(_CellBase):
-    """Encoder supernet cell: stride-2 DOWN_OPS input edges, NORMAL mid edges."""
+    """Encoder supernet cell: stride-2 DOWN_OPS input edges, NORMAL mid edges.
+
+    merge_ops=True (default via SuperNet) computes edges source-major via
+    _super_source — exactly equivalent to the per-edge MixedOp path but with
+    k-fold wider convs and deduped parameter-free ops.
+    """
 
     @nn.compact
     def __call__(self, s0: Array, s1: Array, w_in: Array, w_mid: Array) -> Array:
         s0 = self._pre(s0, stride=2 if s0.shape[1] != s1.shape[1] else 1)
         s1 = self._pre(s1, stride=1)
+        n = self.n_nodes
+        if not self.merge_ops:  # reference per-edge path (equivalence oracle)
+            nodes = []
+            for i in range(n):
+                acc = self._mixed(DOWN_OPS)(s0, w_in[2 * i])
+                acc = acc + self._mixed(DOWN_OPS)(s1, w_in[2 * i + 1])
+                for j in range(i):
+                    acc = acc + self._mixed(NORMAL_OPS)(nodes[j], w_mid[mid_index(i, j)])
+                nodes.append(acc)
+            return jnp.concatenate(nodes, axis=-1)
+
+        accs: list = [None] * n
+
+        def add(i: int, t: Array) -> None:
+            accs[i] = t if accs[i] is None else accs[i] + t
+
+        for e, t in enumerate(self._super_source(
+                s0, "in0", DOWN_OPS, [w_in[2 * i] for i in range(n)])):
+            add(e, t)
+        for e, t in enumerate(self._super_source(
+                s1, "in1", DOWN_OPS, [w_in[2 * i + 1] for i in range(n)])):
+            add(e, t)
         nodes = []
-        for i in range(self.n_nodes):
-            acc = self._mixed(DOWN_OPS)(s0, w_in[2 * i])
-            acc = acc + self._mixed(DOWN_OPS)(s1, w_in[2 * i + 1])
-            for j in range(i):
-                acc = acc + self._mixed(NORMAL_OPS)(nodes[j], w_mid[mid_index(i, j)])
-            nodes.append(acc)
+        for j in range(n):
+            node = accs[j]  # complete: sources are in0/in1 and n_<j
+            nodes.append(node)
+            tgts = list(range(j + 1, n))
+            if tgts:
+                rows = [w_mid[mid_index(i, j)] for i in tgts]
+                for i, t in zip(tgts, self._super_source(node, f"n{j}",
+                                                         NORMAL_OPS, rows)):
+                    add(i, t)
         return jnp.concatenate(nodes, axis=-1)
 
 
 class SuperUpCell(_CellBase):
-    """Decoder supernet cell: UP_OPS edges from `below`, NORMAL from `skip`."""
+    """Decoder supernet cell: UP_OPS edges from `below`, NORMAL from `skip`.
+
+    Same source-major merging as SuperDownCell under merge_ops=True.
+    """
 
     @nn.compact
     def __call__(self, skip: Array, below: Array, w_skip: Array,
                  w_below: Array, w_mid: Array) -> Array:
         skip = self._pre(skip, stride=1)
         below = self._pre(below, stride=1)  # still at R/2; UP edges upsample
+        n = self.n_nodes
+        if not self.merge_ops:  # reference per-edge path (equivalence oracle)
+            nodes = []
+            for i in range(n):
+                acc = self._mixed(UP_OPS)(below, w_below[i])
+                acc = acc + self._mixed(NORMAL_OPS)(skip, w_skip[i])
+                for j in range(i):
+                    acc = acc + self._mixed(NORMAL_OPS)(nodes[j], w_mid[mid_index(i, j)])
+                nodes.append(acc)
+            return jnp.concatenate(nodes, axis=-1)
+
+        accs: list = [None] * n
+
+        def add(i: int, t: Array) -> None:
+            accs[i] = t if accs[i] is None else accs[i] + t
+
+        for e, t in enumerate(self._super_source(
+                below, "below", UP_OPS, [w_below[i] for i in range(n)])):
+            add(e, t)
+        for e, t in enumerate(self._super_source(
+                skip, "skip", NORMAL_OPS, [w_skip[i] for i in range(n)])):
+            add(e, t)
         nodes = []
-        for i in range(self.n_nodes):
-            acc = self._mixed(UP_OPS)(below, w_below[i])
-            acc = acc + self._mixed(NORMAL_OPS)(skip, w_skip[i])
-            for j in range(i):
-                acc = acc + self._mixed(NORMAL_OPS)(nodes[j], w_mid[mid_index(i, j)])
-            nodes.append(acc)
+        for j in range(n):
+            node = accs[j]
+            nodes.append(node)
+            tgts = list(range(j + 1, n))
+            if tgts:
+                rows = [w_mid[mid_index(i, j)] for i in tgts]
+                for i, t in zip(tgts, self._super_source(node, f"n{j}",
+                                                         NORMAL_OPS, rows)):
+                    add(i, t)
         return jnp.concatenate(nodes, axis=-1)
 
 

@@ -44,7 +44,7 @@ class _UNetBase(nn.Module):
     dtype_name: str = "float32"
     remat: bool = True
     use_pallas: bool = False
-    merge_ops: bool = True    # derived cells: exact graph-level op merging
+    merge_ops: bool = True    # exact graph-level op merging (derived + supernet)
 
     @property
     def compute_dtype(self) -> jnp.dtype:
@@ -98,14 +98,16 @@ class SuperNet(_UNetBase):
         feats = [stem]
         s_pp, s_p = stem, stem
         for level in range(1, self.depth + 1):
-            out = Down(remat_edges=self.remat, **self._cell_kwargs(level))(
+            out = Down(remat_edges=self.remat, merge_ops=self.merge_ops,
+                       **self._cell_kwargs(level))(
                 s_pp, s_p, w["down_in"], w["down_mid"])
             s_pp, s_p = s_p, out
             feats.append(out)
 
         below = feats[-1]
         for level in range(self.depth - 1, -1, -1):
-            below = Up(remat_edges=self.remat, **self._cell_kwargs(level))(
+            below = Up(remat_edges=self.remat, merge_ops=self.merge_ops,
+                       **self._cell_kwargs(level))(
                 feats[level], below, w["up_skip"], w["up_below"], w["up_mid"])
 
         return self._head(below)
@@ -157,6 +159,7 @@ def make_supernet(model_cfg, num_classes: int) -> SuperNet:
         dtype_name=model_cfg.dtype,
         remat=model_cfg.remat,
         use_pallas=model_cfg.use_pallas,
+        merge_ops=getattr(model_cfg, "merge_ops", True),
     )
 
 

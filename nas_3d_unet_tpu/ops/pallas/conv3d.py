@@ -48,15 +48,6 @@ def _same_pad(in_size: int, stride: int, k: int, dil: int) -> Tuple[int, int]:
     return total // 2, total - total // 2
 
 
-def _pick_th(h_out: int, w_out: int, target_rows: int = 512) -> int:
-    """Largest divisor of h_out keeping the im2col row count near target."""
-    best = 1
-    for th in range(1, h_out + 1):
-        if h_out % th == 0 and th * w_out <= max(target_rows, w_out):
-            best = th
-    return best
-
-
 def _conv3d_kernel(x_ref, w_ref, b_ref, out_ref, acc_ref,
                    *, stride: int, dil: int, th: int, h_out: int, w_out: int,
                    c_in: int, c_out: int, relu: bool, out_dtype):

@@ -239,8 +239,14 @@ class Pool(nn.Module):
         win = (1, 3, 3, 3, 1)
         strides = (1, self.stride, self.stride, self.stride, 1)
         if self.kind == "avg":
-            return nn.avg_pool(x, win[1:4], strides=strides[1:4], padding="SAME",
-                               count_include_pad=False)
+            # nn.avg_pool(count_include_pad=False) PROMOTES bf16 → f32; cast
+            # back or the f32 poisons every downstream accumulation — at
+            # 128³ C=16 each poisoned temp costs 1 GiB on TPU (f32 + the 8×
+            # lane padding of C=16 in a T(8,128) layout), which alone OOMed
+            # the merged supernet (measured round 2).
+            y = nn.avg_pool(x, win[1:4], strides=strides[1:4], padding="SAME",
+                            count_include_pad=False)
+            return y.astype(x.dtype)
         return nn.max_pool(x, win[1:4], strides=strides[1:4], padding="SAME")
 
 

@@ -33,11 +33,12 @@ import optax
 from flax import struct
 
 from ..data.pipeline import PatchGenerator, PatientCache, Prefetcher, augment_batch, split_patients
-from ..metrics.dice import dice_ce_loss
+from ..metrics.dice import get_loss_fn
 from ..models.genotype import Genotype, init_alphas, parse_alphas
 from ..models.unet import arch_weights_from_alphas
 from ..utils.logging import MetricsLogger
 from ..utils.params import count_params
+from ..utils.timing import fence
 from ..train.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 
 Array = jax.Array
@@ -55,12 +56,13 @@ class SearchState:
 
 def make_search_step(apply_fn: Callable, w_tx: optax.GradientTransformation,
                      a_tx: optax.GradientTransformation,
-                     augment: Optional[dict] = None):
+                     augment: Optional[dict] = None, label_mode: str = "regions"):
     """(state, x_tr, y_tr, x_val, y_val) → (state, metrics), fully jitted."""
+    loss = get_loss_fn(label_mode)
 
     def loss_fn(params, alphas, x, y):
         logits = apply_fn(params, x, arch_weights_from_alphas(alphas))
-        return dice_ce_loss(logits, y)
+        return loss(logits, y)
 
     @partial(jax.jit, donate_argnums=(0,))
     def search_step(state: SearchState, x_tr: Array, y_tr: Array,
@@ -91,7 +93,8 @@ def make_search_step(apply_fn: Callable, w_tx: optax.GradientTransformation,
 
 def make_search_step_unrolled(apply_fn: Callable, w_tx: optax.GradientTransformation,
                               a_tx: optax.GradientTransformation, xi: float,
-                              augment: Optional[dict] = None):
+                              augment: Optional[dict] = None,
+                              label_mode: str = "regions"):
     """Second-order DARTS step (the reference runs first-order; this is the
     paper's unrolled objective, exact rather than finite-difference):
 
@@ -102,9 +105,11 @@ def make_search_step_unrolled(apply_fn: Callable, w_tx: optax.GradientTransforma
     is needed.  ~2× the compute/memory of the first-order step.
     """
 
+    loss = get_loss_fn(label_mode)
+
     def loss_fn(params, alphas, x, y):
         logits = apply_fn(params, x, arch_weights_from_alphas(alphas))
-        return dice_ce_loss(logits, y)
+        return loss(logits, y)
 
     @partial(jax.jit, donate_argnums=(0,))
     def search_step(state: SearchState, x_tr: Array, y_tr: Array,
@@ -137,12 +142,13 @@ def make_search_step_unrolled(apply_fn: Callable, w_tx: optax.GradientTransforma
 
 
 def make_warmup_step(apply_fn: Callable, w_tx: optax.GradientTransformation,
-                     augment: Optional[dict] = None):
+                     augment: Optional[dict] = None, label_mode: str = "regions"):
     """w-only update (α frozen) for the warmup epochs."""
+    loss = get_loss_fn(label_mode)
 
     def loss_fn(params, alphas, x, y):
         logits = apply_fn(params, x, arch_weights_from_alphas(alphas))
-        return dice_ce_loss(logits, y)
+        return loss(logits, y)
 
     @partial(jax.jit, donate_argnums=(0,))
     def warmup_step(state: SearchState, x_tr: Array, y_tr: Array
@@ -187,11 +193,12 @@ class Searcher:
         if getattr(sc, "unrolled", False):
             xi = sc.xi if getattr(sc, "xi", 0.0) > 0 else sc.w_lr
             self.search_step = make_search_step_unrolled(
-                supernet.apply, self.w_tx, self.a_tx, xi, aug)
+                supernet.apply, self.w_tx, self.a_tx, xi, aug, dc.label_mode)
         else:
             self.search_step = make_search_step(supernet.apply, self.w_tx,
-                                                self.a_tx, aug)
-        self.warmup_step = make_warmup_step(supernet.apply, self.w_tx, aug)
+                                                self.a_tx, aug, dc.label_mode)
+        self.warmup_step = make_warmup_step(supernet.apply, self.w_tx, aug,
+                                            dc.label_mode)
         self.logger = MetricsLogger(log_path)
 
         # the search splits its data into a w-part and an α-part
@@ -250,7 +257,9 @@ class Searcher:
                         state, m = self.search_step(state, x_tr, y_tr, x_val, y_val)
                     tr_losses.append(m["train_loss"])
                     va_losses.append(m["val_loss"])
-                jax.block_until_ready(tr_losses[-1])
+                # block_until_ready returns early on the axon platform; the
+                # logged throughput must fence via host value readback.
+                fence(tr_losses[-1])
                 dt = time.perf_counter() - t0
                 pps = steps_per_epoch * self.batch / dt
 

@@ -30,7 +30,13 @@ def save_checkpoint(directory: str, step: int, state: Any, keep: int = 3,
     `best=True` additionally publishes a stable `best.msgpack` copy.
     Host-local arrays only — callers must fully replicate / gather sharded
     state first (the train loop does).
+
+    Multi-host: only process 0 writes (state is replicated, so every host
+    holds identical bytes; concurrent writers to a shared filesystem would
+    race on the tmp files and the prune).
     """
+    if jax.process_index() != 0:
+        return os.path.join(directory, f"ckpt_{step}.msgpack")
     os.makedirs(directory, exist_ok=True)
     state = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
     blob = serialization.to_bytes(state)

@@ -24,9 +24,11 @@ import optax
 from flax import struct
 
 from ..data.pipeline import PatchGenerator, PatientCache, Prefetcher, augment_batch, split_patients
-from ..metrics.dice import dice_ce_loss, region_dice
+from ..metrics.dice import (class_indices_to_labels, class_logits_to_regions,
+                            get_loss_fn, labels_to_regions, region_dice)
 from ..utils.logging import MetricsLogger
 from ..utils.params import count_params
+from ..utils.timing import fence
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 
 Array = jax.Array
@@ -56,12 +58,15 @@ def set_learning_rate(opt_state, lr: float):
 
 
 def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
-                    augment: Optional[dict] = None):
+                    augment: Optional[dict] = None, label_mode: str = "regions"):
     """Build the jitted train step: (state, x, y) → (state, metrics).
 
     `augment`: None, or dict(flip_prob=…, intensity_shift=…, intensity_scale=…)
     to fold device-side augmentation into the graph.
+    `label_mode`: "regions" (y = (B,D,H,W,3) one-hots, sigmoid loss) or
+    "classes" (y = (B,D,H,W) int indices, softmax loss).
     """
+    compute_loss = get_loss_fn(label_mode)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, x: Array, y: Array) -> Tuple[TrainState, Dict[str, Array]]:
@@ -71,7 +76,7 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
 
         def loss_fn(params):
             logits = apply_fn(params, x)
-            return dice_ce_loss(logits, y)
+            return compute_loss(logits, y)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -83,15 +88,27 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
     return train_step
 
 
-def make_eval_step(apply_fn: Callable, threshold: float = 0.5):
-    """Jitted eval: loss + hard per-region dice on a patch batch."""
+def make_eval_step(apply_fn: Callable, threshold: float = 0.5,
+                   label_mode: str = "regions"):
+    """Jitted eval: loss + hard per-region dice on a patch batch.
+
+    Dice is always reported per BraTS region (WT/TC/ET); in class mode the
+    argmax class decode is converted to regions first, so the metric is
+    comparable across label encodings.
+    """
+    loss_fn_ = get_loss_fn(label_mode)
 
     @jax.jit
     def eval_step(params, x: Array, y: Array) -> Dict[str, Array]:
         logits = apply_fn(params, x)
-        loss = dice_ce_loss(logits, y)
-        pred = (jax.nn.sigmoid(logits.astype(jnp.float32)) > threshold).astype(jnp.float32)
-        dice = region_dice(pred, y)
+        loss = loss_fn_(logits, y)
+        if label_mode == "regions":
+            pred = (jax.nn.sigmoid(logits.astype(jnp.float32)) > threshold).astype(jnp.float32)
+            true = y
+        else:  # classes: argmax → BraTS labels → region one-hots
+            pred = class_logits_to_regions(logits)
+            true = labels_to_regions(class_indices_to_labels(y).astype(jnp.int32))
+        dice = region_dice(pred, true)
         return {"loss": loss, "dice_wt": dice[0], "dice_tc": dice[1], "dice_et": dice[2]}
 
     return eval_step
@@ -140,8 +157,9 @@ class Trainer:
         self.tx = make_optimizer(tc.lr, tc.weight_decay)
         aug = (dict(flip_prob=dc.flip_prob, intensity_shift=dc.intensity_shift,
                     intensity_scale=dc.intensity_scale) if device_augment else None)
-        self.train_step = make_train_step(net.apply, self.tx, augment=aug)
-        self.eval_step = make_eval_step(net.apply)
+        self.train_step = make_train_step(net.apply, self.tx, augment=aug,
+                                          label_mode=dc.label_mode)
+        self.eval_step = make_eval_step(net.apply, label_mode=dc.label_mode)
         self.plateau = PlateauController(tc.lr_patience, tc.lr_factor, tc.min_lr)
         self.logger = MetricsLogger(log_path)
         self.host_augment = not device_augment
@@ -207,7 +225,9 @@ class Trainer:
                     x, y = prefetch.next()
                     state, metrics = self.train_step(state, x, y)
                     losses.append(metrics["loss"])
-                jax.block_until_ready(losses[-1])
+                # block_until_ready returns early on the axon platform; the
+                # logged throughput must fence via host value readback.
+                fence(losses[-1])
                 dt = time.perf_counter() - t0
                 pps = steps_per_epoch * self.batch / dt
 
@@ -238,6 +258,10 @@ class Trainer:
         accum: Dict[str, list] = {}
         for _ in range(val_steps):
             x, y = gval.next()
+            if self.sharding is not None:
+                # eval batches must carry the same mesh sharding as training
+                # or they silently run on device 0 only under a DP mesh
+                x, y = jax.device_put((np.asarray(x), np.asarray(y)), self.sharding)
             m = self.eval_step(params, jnp.asarray(x), jnp.asarray(y))
             for k, v in m.items():
                 accum.setdefault(k, []).append(float(v))

@@ -38,8 +38,20 @@ class DataConfig:
     intensity_scale: float = 0.1              # multiplicative jitter amplitude
     # label encoding: "regions" = sigmoid over (WT, TC, ET); "classes" = softmax over 4
     label_mode: str = "regions"
-    num_classes: int = 3
+    num_classes: int = 0                      # 0 = auto: 3 (regions) / 4 (classes)
     seed: int = 0
+
+    def __post_init__(self):
+        if self.label_mode not in ("regions", "classes"):
+            raise ValueError(f"label_mode must be 'regions' or 'classes', "
+                             f"got {self.label_mode!r}")
+        required = 3 if self.label_mode == "regions" else 4
+        if self.num_classes == 0:
+            object.__setattr__(self, "num_classes", required)
+        elif self.num_classes != required:
+            raise ValueError(
+                f"label_mode={self.label_mode!r} requires num_classes="
+                f"{required}, got {self.num_classes}")
 
 
 @dataclass(frozen=True)
@@ -183,6 +195,10 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
 def apply_overrides(cfg: Config, overrides: dict) -> Config:
     """Apply {"section.key": value} overrides, returning a new Config."""
     raw = cfg.to_dict()
+    # to_dict() carries the mode-resolved num_classes; a label_mode override
+    # must re-trigger auto-resolution unless num_classes is set explicitly
+    if "data.label_mode" in overrides and "data.num_classes" not in overrides:
+        raw["data"]["num_classes"] = 0
     for dotted, val in overrides.items():
         section, _, key = dotted.partition(".")
         if not key or section not in raw:

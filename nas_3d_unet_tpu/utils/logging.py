@@ -14,13 +14,25 @@ import time
 from typing import Optional
 
 
+def _is_primary_process() -> bool:
+    try:
+        import jax
+        return jax.process_index() == 0
+    except Exception:  # no backend (e.g. pure-host tooling) → single process
+        return True
+
+
 class MetricsLogger:
+    """Multi-host: only process 0 emits (metrics are computed from replicated
+    values, so other hosts would write interleaved duplicates)."""
+
     def __init__(self, path: Optional[str] = None, stdout: bool = True):
+        primary = _is_primary_process()
         self._file = None
-        if path:
+        if path and primary:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._file = open(path, "a", buffering=1)
-        self._stdout = stdout
+        self._stdout = stdout and primary
         self._t0 = time.time()
 
     def log(self, **record) -> None:

@@ -12,13 +12,35 @@ captured — we must flip the platform via jax.config, not os.environ.
 import os
 import sys
 
+import pytest
+
+# Real-TPU lane: NAS3D_TPU_TESTS=1 keeps the default (axon TPU) platform so
+# @pytest.mark.tpu tests exercise the real chip (Pallas parity, HBM fits,
+# fenced timing).  Run it as: NAS3D_TPU_TESTS=1 pytest tests/ -m tpu -q
+_TPU_LANE = os.environ.get("NAS3D_TPU_TESTS") == "1"
+
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
+if not _TPU_LANE and "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "tpu: needs the real TPU chip "
+                            "(run with NAS3D_TPU_TESTS=1, skipped on CPU)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if _TPU_LANE:
+        return
+    skip = pytest.mark.skip(reason="real-TPU lane disabled (set NAS3D_TPU_TESTS=1)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
 
 # Persistent compilation cache: supernet fwd+bwd graphs take ~minutes to
 # compile on CPU; caching makes repeated suite runs fast.

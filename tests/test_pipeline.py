@@ -75,3 +75,38 @@ def test_dataset_paths_host_sharding(tmp_path):
                  for i in range(2)]
     assert sorted(sum(all_parts, [])) == sorted(paths)
     assert not set(all_parts[0]) & set(all_parts[1])
+
+
+def test_prefetcher_multiworker_batches(tmp_path):
+    """workers>1 interleaves independent generator streams; every batch is
+    well-formed (shape/dtype) and the queue drains without deadlock."""
+    from tests.helpers import write_synthetic_h5
+    from nas_3d_unet_tpu.data.pipeline import PatchGenerator, PatientCache, Prefetcher
+
+    paths = write_synthetic_h5(str(tmp_path), n_patients=2)
+    g = PatchGenerator(PatientCache(paths), (8, 8, 8), 2, seed=0)
+    pf = Prefetcher(g, depth=2, workers=3)
+    try:
+        for _ in range(6):
+            x, y = pf.next()
+            assert x.shape == (2, 8, 8, 8, 4)
+            assert y.shape == (2, 8, 8, 8, 3)
+    finally:
+        pf.close()
+
+
+def test_patch_generator_clone_independent_stream(tmp_path):
+    from tests.helpers import write_synthetic_h5
+    from nas_3d_unet_tpu.data.pipeline import PatchGenerator, PatientCache
+
+    paths = write_synthetic_h5(str(tmp_path), n_patients=2)
+    cache = PatientCache(paths)
+    g = PatchGenerator(cache, (8, 8, 8), 2, seed=5)
+    c = g.clone(1000)
+    xg, _ = g.next()
+    xc, _ = c.next()
+    assert xg.shape == xc.shape
+    assert not np.array_equal(xg, xc)  # different RNG streams
+    # clone of same offset reproduces the same stream
+    c2 = PatchGenerator(cache, (8, 8, 8), 2, seed=1005)
+    np.testing.assert_array_equal(xc, c2.next()[0])

