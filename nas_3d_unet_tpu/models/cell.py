@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.packed import PX, px_concat
 from ..ops.primitives import (
     DOWN_OPS,
     NORMAL_OPS,
@@ -46,6 +47,21 @@ from ..ops.primitives import (
     make_op,
 )
 from .genotype import mid_index
+
+
+def _cat(nodes):
+    """Channel concat of node outputs (PX-aware)."""
+    if isinstance(nodes[0], PX):
+        return px_concat(nodes)
+    return jnp.concatenate(nodes, axis=-1)
+
+
+def _tr(t, r_target: int):
+    """Normalize a packed edge output to the cell's packing factor (free
+    reshape); no-op for plain arrays and matching factors."""
+    if isinstance(t, PX) and t.layout.r != r_target:
+        return t.repack(r_target)
+    return t
 
 # Ops whose output channels can be widened so several edges sharing the same
 # (source, op) run as ONE op with EXACTLY equivalent math (independent kernel
@@ -121,7 +137,9 @@ class _SourceOps(nn.Module):
                          if self.norm != "none" else self.gn_groups)
                 wide = op(op_name, k * c, k * g_eff)(x)
                 for e in range(k):
-                    sl = wide[..., e * c:(e + 1) * c]
+                    sl = (wide.slice_channels(e * c, c)
+                          if isinstance(wide, PX)
+                          else wide[..., e * c:(e + 1) * c])
                     acc(e, weights[e, o].astype(sl.dtype) * sl)
             else:  # per-edge parameters (separable convs)
                 for e in range(k):
@@ -248,7 +266,10 @@ class _CellBase(nn.Module):
         c = self.features
         i = slot["next"]
         slot["next"] += 1
-        return slot["out"][..., i * c:(i + 1) * c]
+        out = slot["out"]
+        if isinstance(out, PX):
+            return out.slice_channels(i * c, c)
+        return out[..., i * c:(i + 1) * c]
 
 
 class SuperDownCell(_CellBase):
@@ -272,7 +293,7 @@ class SuperDownCell(_CellBase):
                 for j in range(i):
                     acc = acc + self._mixed(NORMAL_OPS)(nodes[j], w_mid[mid_index(i, j)])
                 nodes.append(acc)
-            return jnp.concatenate(nodes, axis=-1)
+            return _cat(nodes)
 
         accs: list = [None] * n
 
@@ -295,7 +316,7 @@ class SuperDownCell(_CellBase):
                 for i, t in zip(tgts, self._super_source(node, f"n{j}",
                                                          NORMAL_OPS, rows)):
                     add(i, t)
-        return jnp.concatenate(nodes, axis=-1)
+        return _cat(nodes)
 
 
 class SuperUpCell(_CellBase):
@@ -309,20 +330,25 @@ class SuperUpCell(_CellBase):
                  w_below: Array, w_mid: Array) -> Array:
         skip = self._pre(skip, stride=1)
         below = self._pre(below, stride=1)  # still at R/2; UP edges upsample
+        r_cell = skip.layout.r if isinstance(skip, PX) else None
         n = self.n_nodes
         if not self.merge_ops:  # reference per-edge path (equivalence oracle)
             nodes = []
             for i in range(n):
                 acc = self._mixed(UP_OPS)(below, w_below[i])
+                if r_cell is not None:
+                    acc = _tr(acc, r_cell)
                 acc = acc + self._mixed(NORMAL_OPS)(skip, w_skip[i])
                 for j in range(i):
                     acc = acc + self._mixed(NORMAL_OPS)(nodes[j], w_mid[mid_index(i, j)])
                 nodes.append(acc)
-            return jnp.concatenate(nodes, axis=-1)
+            return _cat(nodes)
 
         accs: list = [None] * n
 
         def add(i: int, t: Array) -> None:
+            if r_cell is not None:
+                t = _tr(t, r_cell)
             accs[i] = t if accs[i] is None else accs[i] + t
 
         for e, t in enumerate(self._super_source(
@@ -341,7 +367,7 @@ class SuperUpCell(_CellBase):
                 for i, t in zip(tgts, self._super_source(node, f"n{j}",
                                                          NORMAL_OPS, rows)):
                     add(i, t)
-        return jnp.concatenate(nodes, axis=-1)
+        return _cat(nodes)
 
 
 class DerivedDownCell(_CellBase):
@@ -366,7 +392,7 @@ class DerivedDownCell(_CellBase):
                 acc = y if acc is None else acc + y
             states[f"n{i}"] = acc
             nodes.append(acc)
-        return jnp.concatenate(nodes, axis=-1)
+        return _cat(nodes)
 
 
 class DerivedUpCell(_CellBase):
@@ -381,13 +407,17 @@ class DerivedUpCell(_CellBase):
     @nn.compact
     def __call__(self, skip: Array, below: Array) -> Array:
         states = {"skip": self._pre(skip, 1), "below": self._pre(below, 1)}
+        r_cell = (states["skip"].layout.r
+                  if isinstance(states["skip"], PX) else None)
         merged = self._merged_edges(self.gene) if self.merge_ops else {}
         nodes = []
         for i, node_gene in enumerate(self.gene):
             acc = None
             for src, op_name in node_gene:
                 y = self._edge(merged, states, src, op_name)
+                if r_cell is not None:
+                    y = _tr(y, r_cell)
                 acc = y if acc is None else acc + y
             states[f"n{i}"] = acc
             nodes.append(acc)
-        return jnp.concatenate(nodes, axis=-1)
+        return _cat(nodes)

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.primitives import ConvNormAct
+from ..ops.packed import PX
+from ..ops.primitives import ConvNormAct, PackedConvK
 from .cell import DerivedDownCell, DerivedUpCell, SuperDownCell, SuperUpCell
 from .genotype import Genotype
 
@@ -45,6 +46,7 @@ class _UNetBase(nn.Module):
     remat: bool = True
     use_pallas: bool = False
     merge_ops: bool = True    # exact graph-level op merging (derived + supernet)
+    packed: bool = False      # lane-packed execution (ops/packed.py)
 
     @property
     def compute_dtype(self) -> jnp.dtype:
@@ -61,9 +63,28 @@ class _UNetBase(nn.Module):
         return ConvNormAct(self.n_nodes * self.base_channels, 3, 1, 1, 1,
                            self.norm, self.gn_groups, self.compute_dtype)(x)
 
-    def _head(self, x: Array) -> Array:
+    def _pack_input(self, x: Array) -> "PX":
+        """Choose the level-0 packing factor: the largest r ∈ {8,4,2,1}
+        such that every level's W is divisible by its r_l = r >> l."""
+        w = x.shape[3]
+        r0 = 8
+        while r0 > 1:
+            ok = all((w >> l) % max(1, r0 >> l) == 0 and (w >> l) > 0
+                     for l in range(self.depth + 1))
+            if ok:
+                break
+            r0 //= 2
+        return PX.pack(x, r0)
+
+    def _head(self, x) -> Array:
         # head in fp32: logits feed the fp32 loss / stitching paths
         x = x.astype(jnp.float32)
+        if isinstance(x, PX):
+            # name matches nn.Conv's auto-name so the param tree (and the
+            # name-derived init RNG stream) is identical across the flag
+            y = PackedConvK(self.num_classes, 1, 1, 1, jnp.float32,
+                            use_bias=True, name="Conv_0")(x)
+            return y.unpack()
         return nn.Conv(self.num_classes, (1, 1, 1), padding="SAME",
                        dtype=jnp.float32, param_dtype=jnp.float32)(x)
 
@@ -90,6 +111,8 @@ class SuperNet(_UNetBase):
     def __call__(self, x: Array, arch_weights: Dict[str, Array]) -> Array:
         w = arch_weights
         x = x.astype(self.compute_dtype)
+        if self.packed:
+            x = self._pack_input(x)
         stem = self._stem(x)
 
         Down = self._remat(SuperDownCell)
@@ -123,6 +146,8 @@ class DerivedNet(_UNetBase):
     def __call__(self, x: Array) -> Array:
         g = self.genotype
         x = x.astype(self.compute_dtype)
+        if self.packed:
+            x = self._pack_input(x)
         stem = self._stem(x)
 
         Down = self._remat(DerivedDownCell)
@@ -160,6 +185,7 @@ def make_supernet(model_cfg, num_classes: int) -> SuperNet:
         remat=model_cfg.remat,
         use_pallas=model_cfg.use_pallas,
         merge_ops=getattr(model_cfg, "merge_ops", True),
+        packed=getattr(model_cfg, "packed", False),
     )
 
 
@@ -178,4 +204,5 @@ def make_derived(model_cfg, num_classes: int, genotype: Genotype,
         remat=model_cfg.remat,
         use_pallas=model_cfg.use_pallas,
         merge_ops=getattr(model_cfg, "merge_ops", True),
+        packed=getattr(model_cfg, "packed", False),
     )

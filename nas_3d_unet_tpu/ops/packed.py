@@ -1,0 +1,747 @@
+"""Lane-packed execution: W-major channel packing for small-C 3D conv nets.
+
+Motivation (measured, v5e, round 2): at 128³ with C=16 channels-last, XLA's
+3³ conv runs ~30× off both the MXU and HBM rooflines — Cout=16 fills 16 of
+the MXU's 128 lanes, and the T(8,128) tiled layout plus the relayout copies
+XLA inserts around its internal conv layouts dominate the train step
+(PERF_NOTES.md "Train-step device profile").
+
+The fix is representational, not a kernel: pack r consecutive W-voxels into
+the channel dimension,
+
+    (B, D, H, W, C)  →  (B, D, H, W/r, r·C)        r = packing factor
+
+which is a FREE reshape in row-major (W-major over C), and execute every op
+directly on the packed representation:
+
+  * 3³/1³ (dilated/strided) convs become dense packed convs whose kernels
+    are exact scatters of the logical kernels along the packed-W axis: a tap
+    at original offset (kw, δ_out) lands in packed-block offset
+    ⌊t/r⌋, slot t mod r, t = stride·δ_out + dilation·kw − pad.  The packed
+    conv does r× the logical FLOPs but those extra FLOPs ride otherwise-idle
+    MXU lanes (same MXU cycles), while HBM traffic drops ~r×.
+  * k2s2 transpose conv: lhs-dilated conv over (D, H) with the W-axis
+    upsample folded into channels, then a free reshape splits W back out.
+  * GroupNorm: statistics are sums over (D, H, Wp) plus a fold of the r
+    sub-positions — tiny-vector math; the normalize pass is elementwise with
+    r-tiled scale/bias.  No reshape of the volume is needed.
+  * identity / none / ReLU / weighted sums: unchanged elementwise.
+
+Parameters stay in their LOGICAL shapes (the scatter runs inside the jitted
+step and is differentiable — its transpose is a gather), so checkpoints and
+param trees are identical across the packed flag.
+
+With base_channels=16, depth 3, r_l = 128/C_l gives every level tensors of
+shape (B, D_l, H_l, 16, {128, 384}) — full 128-lane tiles everywhere, at
+every level of the U-shape.
+
+Reference: this replaces the cuDNN delegation of the reference's prim_ops
+(SURVEY.md §2 "Primitive ops", §2a) with a TPU-native execution layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Layouts
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PackedLayout:
+    """Describes how logical (W-slot δ, channel c) pairs map to packed
+    channel positions.  `idx[δ, c]` = packed channel index.  Static
+    (trace-time) metadata — never traced."""
+
+    r: int
+    c: int                      # logical channel count
+    idx: Tuple[Tuple[int, ...], ...]  # (r, c) -> packed position
+
+    @property
+    def packed_channels(self) -> int:
+        return self.r * self.c
+
+    def index(self) -> np.ndarray:
+        return np.asarray(self.idx, dtype=np.int64)
+
+
+def standard_layout(r: int, c: int) -> PackedLayout:
+    """The layout produced by `pack`: packed position = δ·c + ch."""
+    idx = np.arange(r * c).reshape(r, c)
+    return PackedLayout(r=r, c=c, idx=tuple(map(tuple, idx.tolist())))
+
+
+def concat_layouts(layouts: Sequence[PackedLayout]) -> PackedLayout:
+    """Layout of jnp.concatenate([packed tensors], axis=-1).
+
+    All inputs must share r.  Logical channels concatenate in order; the
+    packed positions of part i are offset by the total packed width before
+    it (packed concat ≠ pack of logical concat, which is why consumers use
+    layout-aware weight scatters instead of re-packing)."""
+    r = layouts[0].r
+    assert all(l.r == r for l in layouts)
+    parts = []
+    off = 0
+    for l in layouts:
+        parts.append(l.index() + off)
+        off += l.packed_channels
+    idx = np.concatenate(parts, axis=1)           # (r, sum_c)
+    return PackedLayout(r=r, c=idx.shape[1], idx=tuple(map(tuple, idx.tolist())))
+
+
+def pack(x: Array, r: int) -> Array:
+    """(B, D, H, W, C) → (B, D, H, W/r, r·C).  Free reshape (row-major)."""
+    b, d, h, w, c = x.shape
+    assert w % r == 0, f"W={w} not divisible by packing factor r={r}"
+    return x.reshape(b, d, h, w // r, r * c)
+
+
+def unpack(x: Array, r: int) -> Array:
+    """(B, D, H, Wp, r·C) → (B, D, H, Wp·r, C).  Free reshape.  Only valid
+    for the standard layout."""
+    b, d, h, wp, rc = x.shape
+    assert rc % r == 0
+    return x.reshape(b, d, h, wp * r, rc // r)
+
+
+# ---------------------------------------------------------------------------
+# Padding helper (explicit lax-SAME arithmetic so semantics never drift)
+# ---------------------------------------------------------------------------
+
+
+def same_pad(in_size: int, kernel: int, stride: int, dilation: int) -> Tuple[int, int]:
+    """lax 'SAME' padding (lo, hi) for one spatial dim."""
+    out = -(-in_size // stride)                    # ceil
+    k_eff = dilation * (kernel - 1) + 1
+    total = max(0, (out - 1) * stride + k_eff - in_size)
+    return total // 2, total - total // 2
+
+
+# ---------------------------------------------------------------------------
+# General packed conv (kernels 1..3 per axis, stride 1/2, dilation 1/2)
+# ---------------------------------------------------------------------------
+
+
+def _scatter_conv_w(kernel_w: int, stride: int, dilation: int,
+                    lin: PackedLayout, lout: PackedLayout,
+                    w_in: int) -> Tuple[np.ndarray, np.ndarray, int, Tuple[int, int]]:
+    """Scatter plan for the W axis of a packed conv.
+
+    Returns (dst_idx, src_kw, sp, (pad_lo_p, pad_hi_p)) where for every
+    (kw, δo) tap: dst_idx rows give (kwp, packed_cin_base_slot δi) and the
+    packed kernel position, i.e. arrays mapping logical taps to packed taps.
+
+    Concretely produces, for each logical W-tap kw and output slot δo:
+      t  = stride·δo + dilation·kw − pad_lo          (input W offset)
+      o  = ⌊t / r_in⌋   (packed-block offset)         δi = t mod r_in
+    and the packed kernel index kwp = o − o_min.
+    """
+    r_in, r_out = lin.r, lout.r
+    pad_lo, _ = same_pad(w_in, kernel_w, stride, dilation)
+    sp_num = stride * r_out
+    assert sp_num % r_in == 0, (stride, r_out, r_in)
+    sp = sp_num // r_in
+
+    taps = []                                      # (kw, δo, o, δi)
+    for kw in range(kernel_w):
+        for do in range(r_out):
+            t = stride * do + dilation * kw - pad_lo
+            o = t // r_in                          # floor (python // on ints)
+            di = t - o * r_in
+            taps.append((kw, do, o, di))
+    o_min = min(t[2] for t in taps)
+    o_max = max(t[2] for t in taps)
+
+    w_out = -(-w_in // stride)
+    wp_in = w_in // r_in
+    wp_out = w_out // r_out
+    pad_lo_p = -o_min
+    pad_hi_p = max(0, sp * (wp_out - 1) + o_max - (wp_in - 1))
+    kp = o_max - o_min + 1
+    return (np.asarray(taps, dtype=np.int64),
+            np.asarray([kp], dtype=np.int64), sp, (pad_lo_p, pad_hi_p))
+
+
+def packed_conv(xp: Array, w: Array, lin: PackedLayout, lout: PackedLayout,
+                *, w_in: int, kernel: Tuple[int, int, int] = (3, 3, 3),
+                stride: int = 1, dilation: int = 1,
+                precision=None, decompose_d: bool = True) -> Array:
+    """Packed 3D conv, exact vs lax SAME conv on the unpacked tensors.
+
+    `w`: logical kernel (kd, kh, kw, Cin, Cout).  `w_in`: the ORIGINAL
+    (unpacked) W size of xp.  Output is in the standard layout of lout
+    (caller constructs lout = standard_layout(r_out, Cout)).
+    D/H use ordinary lax SAME padding with the given stride/dilation.
+
+    `decompose_d` (default): run the kd depth taps as 2D convs over the
+    (B·D, H, Wp) plane batch with shifted-plane accumulation instead of one
+    3D conv — measured 2.6× faster forward and 4.8× faster fwd+bwd on v5e
+    (XLA's TPU 2D conv kernels and especially their gradients are far better
+    tuned than the 3D path; exp_conv_alt, round 2).  Exact: same taps, same
+    fp32 accumulation per output, only the kd-sum order changes.
+    """
+    kd, kh, kw_sz = kernel
+    cin, cout = lin.c, lout.c
+    r_in, r_out = lin.r, lout.r
+    assert w.shape == (kd, kh, kw_sz, cin, cout), (w.shape, kernel, cin, cout)
+
+    taps, kp_arr, sp, (plo, phi) = _scatter_conv_w(
+        kw_sz, stride, dilation, lin, lout, w_in)
+    kp = int(kp_arr[0])
+    o_min = int(taps[:, 2].min())
+
+    # Build the vectorized scatter index arrays once (trace-time numpy).
+    idx_in = lin.index()                            # (r_in, cin)
+    idx_out = lout.index()                          # (r_out, cout)
+    kw_l = taps[:, 0]                               # (T,)
+    do_l = taps[:, 1]
+    kwp_l = taps[:, 2] - o_min
+    di_l = taps[:, 3]
+    T = taps.shape[0]
+
+    # destination (T, cin, cout) positions in the packed kernel
+    kwp_ix = np.broadcast_to(kwp_l[:, None, None], (T, cin, cout))
+    pin_ix = np.broadcast_to(idx_in[di_l][:, :, None], (T, cin, cout))
+    pout_ix = np.broadcast_to(idx_out[do_l][:, None, :], (T, cin, cout))
+    kw_ix = np.broadcast_to(kw_l[:, None, None], (T, cin, cout))
+
+    def build_packed_kernel(w):
+        wp = jnp.zeros((kd, kh, kp, r_in * cin, r_out * cout), w.dtype)
+        # scatter every logical tap into its packed position; disjoint
+        # destinations, so .at[].set is exact (no accumulation races)
+        src = w[:, :, kw_ix, np.broadcast_to(np.arange(cin)[None, :, None], (T, cin, cout)),
+                np.broadcast_to(np.arange(cout)[None, None, :], (T, cin, cout))]
+        return wp.at[:, :, kwp_ix, pin_ix, pout_ix].set(src)
+
+    wp = build_packed_kernel(w)
+
+    d_in, h_in = xp.shape[1], xp.shape[2]
+    pad_d = same_pad(d_in, kd, stride, dilation)
+    pad_h = same_pad(h_in, kh, stride, dilation)
+
+    if decompose_d and kd > 1:
+        return _conv_d_decomposed(xp, wp, kd=kd, stride=stride,
+                                  dilation=dilation, sp=sp,
+                                  pad_d=pad_d, pad_h=pad_h, pad_w=(plo, phi),
+                                  precision=precision)
+
+    dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    return jax.lax.conv_general_dilated(
+        xp, wp, window_strides=(stride, stride, sp),
+        padding=[pad_d, pad_h, (plo, phi)],
+        rhs_dilation=(dilation, dilation, 1),
+        dimension_numbers=dn, precision=precision)
+
+
+def _conv_d_decomposed(xp: Array, wp: Array, *, kd: int, stride: int,
+                       dilation: int, sp: int, pad_d, pad_h, pad_w,
+                       precision) -> Array:
+    """kd depth taps as 2D convs over the (B·D) plane batch.
+
+    Output plane d needs input plane stride·d + dilation·kd − pad_d_lo per
+    tap.  Each tap runs ONE 2D conv over the planes of the right parity
+    (stride 2 halves the conv work per tap), then a static shift (pad +
+    slice along D) aligns planes before summation.
+    """
+    b, d_in, h_in, wp_n, rc_in = xp.shape
+    d_out = -(-d_in // stride)
+    rc_out = wp.shape[-1]
+    acc = None
+    for k in range(kd):
+        base = dilation * k - pad_d[0]              # input plane of output 0
+        if stride == 1:
+            planes = xp
+            shift = base
+        else:                                       # stride 2: parity planes
+            start = base % 2
+            planes = xp[:, start::2]
+            shift = (base - start) // 2
+        nb = planes.shape[1]
+        x2 = planes.reshape(b * nb, h_in, wp_n, rc_in)
+        dn2 = jax.lax.conv_dimension_numbers(
+            x2.shape, wp.shape[1:], ("NHWC", "HWIO", "NHWC"))
+        z = jax.lax.conv_general_dilated(
+            x2, wp[k], window_strides=(stride, sp),
+            padding=[pad_h, pad_w], rhs_dilation=(dilation, 1),
+            dimension_numbers=dn2, precision=precision)
+        z = z.reshape(b, nb, z.shape[1], z.shape[2], rc_out)
+        # align: output plane d reads z[d + shift]; shift is static
+        if shift > 0:
+            z = z[:, shift:]
+        elif shift < 0:
+            z = jnp.pad(z, ((0, 0), (-shift, 0), (0, 0), (0, 0), (0, 0)))
+        if z.shape[1] < d_out:
+            z = jnp.pad(z, ((0, 0), (0, d_out - z.shape[1]),
+                            (0, 0), (0, 0), (0, 0)))
+        elif z.shape[1] > d_out:
+            z = z[:, :d_out]
+        acc = z if acc is None else acc + z
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Packed k2s2 transpose conv (exact vs flax nn.ConvTranspose VALID k2s2)
+# ---------------------------------------------------------------------------
+
+
+def packed_transpose2x(xp: Array, w: Array, lin: PackedLayout,
+                       lout: PackedLayout, precision=None) -> Array:
+    """2× upsampling transpose conv (kernel 2, stride 2, VALID).
+
+    Logical: y[2d+kd, 2h+kh, 2w+kw, co] = Σ_ci w[kd,kh,kw,ci,co]·x[d,h,w,ci].
+    Packed: D/H via lhs-dilation-free trick — every input position emits a
+    (2,2) D/H block and 2 W-slots, all folded into channels:
+        (B, D, H, Wp, r_in·Cin) -conv1³-> (B, D, H, Wp, 2·2·2·r_in·Cout)
+    then free reshapes interleave W (channel split) while D/H interleave via
+    one transpose-reshape pair (cheap: output is written once).
+    """
+    cin, cout = lin.c, lout.c
+    r_in, r_out = lin.r, lout.r
+    assert w.shape == (2, 2, 2, cin, cout), (w.shape, cin, cout)
+    # input slot δi covers output slots 2δi + kw, all inside one output
+    # block ⇒ the packed W upsample folds entirely into channels
+    assert r_out == 2 * r_in, (r_in, r_out)
+
+    idx_in = lin.index()
+    # one 1³ conv producing channels [δd, δh, δo·cout] with δo = 2δi+δw.
+    # flax ConvTranspose (lax.conv_transpose, transpose_kernel=False) gives
+    # y[2i+δ] = w[1−δ]·x[i] per axis, so output offset δ reads kernel 1−δ.
+    kw_ix = []
+    di_ix = []
+    dst = []
+    for dd in range(2):
+        for dh in range(2):
+            for di in range(r_in):
+                for dw in range(2):
+                    do = 2 * di + dw
+                    for ci in range(cin):
+                        for co in range(cout):
+                            kw_ix.append((1 - dd, 1 - dh, 1 - dw, ci, co))
+                            di_ix.append(idx_in[di, ci])
+                            dst.append(((dd * 2 + dh) * r_out + do) * cout + co)
+    kw_ix = np.asarray(kw_ix, dtype=np.int64)
+    di_ix = np.asarray(di_ix, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+
+    def build(w):
+        wp = jnp.zeros((1, 1, 1, r_in * cin, 4 * r_out * cout), w.dtype)
+        src = w[kw_ix[:, 0], kw_ix[:, 1], kw_ix[:, 2], kw_ix[:, 3], kw_ix[:, 4]]
+        return wp.at[0, 0, 0, di_ix, dst].set(src)
+
+    wp = build(w)
+    dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    y = jax.lax.conv_general_dilated(xp, wp, (1, 1, 1),
+                                     padding=[(0, 0), (0, 0), (0, 0)],
+                                     dimension_numbers=dn,
+                                     precision=precision)
+    b, d, h, wp_n, _ = y.shape
+    # channels are [kd, kh, δo·cout]: split kd/kh out and interleave
+    y = y.reshape(b, d, h, wp_n, 2, 2, r_out * cout)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6)            # (B, D, kd, H, kh, Wp, r·C)
+    return y.reshape(b, 2 * d, 2 * h, wp_n, r_out * cout)
+
+
+# ---------------------------------------------------------------------------
+# Packed GroupNorm (+ optional ReLU) — stats fold the r sub-positions
+# ---------------------------------------------------------------------------
+
+
+def packed_group_norm(xp: Array, scale: Array, bias: Array, groups: int,
+                      layout: PackedLayout, eps: float = 1e-6,
+                      relu: bool = False) -> Array:
+    """GroupNorm over logical channels of a packed tensor (per-sample stats
+    over D, H, W and the channels of each group), matching nn.GroupNorm.
+
+    Stats: one f32 reduction to (B, r·C), folded to per-group scalars with
+    the layout's index map; normalization is a single elementwise pass with
+    packed-gathered scale/bias.  The volume is never reshaped."""
+    c, r = layout.c, layout.r
+    assert c % groups == 0
+    gsize = c // groups
+    idx = layout.index()                            # (r, c)
+
+    xf = xp.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 2, 3))                # (B, rC)
+    s2 = jnp.sum(xf * xf, axis=(1, 2, 3))           # (B, rC)
+    # fold: packed position -> (group) sums.  Gather (B, rC) -> (B, r, c)
+    gather = idx.reshape(-1)                        # (r*c,) positions in packed order δ-major
+    s1 = s1[:, gather].reshape(-1, r, groups, gsize)
+    s2 = s2[:, gather].reshape(-1, r, groups, gsize)
+    n = xp.shape[1] * xp.shape[2] * xp.shape[3] * r * gsize
+    mean = jnp.sum(s1, axis=(1, 3)) / n             # (B, G)
+    ex2 = jnp.sum(s2, axis=(1, 3)) / n
+    var = ex2 - mean * mean
+    inv = jax.lax.rsqrt(var + eps)                  # (B, G)
+
+    # per-packed-channel affine: packed position p holds logical channel
+    # c(p) in group g(p)
+    pos_to_c = np.empty((r * c,), dtype=np.int64)
+    for d in range(r):
+        for ch in range(c):
+            pos_to_c[idx[d, ch]] = ch
+    pos_group = pos_to_c // gsize                   # (rC,)
+    scale_p = scale[pos_to_c]                       # (rC,)
+    bias_p = bias[pos_to_c]
+    mean_p = mean[:, pos_group]                     # (B, rC)
+    inv_p = inv[:, pos_group]
+
+    shp = (xp.shape[0], 1, 1, 1, r * c)
+    y = (xf - mean_p.reshape(shp)) * (inv_p.reshape(shp) * scale_p) + bias_p
+    y = y.astype(xp.dtype)
+    if relu:
+        y = jax.nn.relu(y)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Packed pooling (3³ windows; stride 1 or 2), exact vs nn.avg_pool/max_pool
+# ---------------------------------------------------------------------------
+
+
+def _w_shift_matrices(layout: PackedLayout, shifts: Sequence[int]) -> dict:
+    """For each shift s, a pair of (rC × rC) 0/1 matrices (cur, prev/next)
+    implementing a W shift by s voxels in packed space:
+        y[..., p_out] = Σ cur[p_in, p_out]·x[..., wp, p_in]
+                      + Σ oth[p_in, p_out]·x[..., wp±1, p_in]
+    Used for pooling; shifts ∈ {-1, 0, 1} (3-window)."""
+    r, c = layout.r, layout.c
+    idx = layout.index()
+    out = {}
+    for s in shifts:
+        cur = np.zeros((r * c, r * c), np.float32)
+        oth = np.zeros((r * c, r * c), np.float32)
+        for do in range(r):
+            di = do + s
+            for ch in range(c):
+                if 0 <= di < r:
+                    cur[idx[di, ch], idx[do, ch]] = 1.0
+                elif di < 0:
+                    oth[idx[di + r, ch], idx[do, ch]] = 1.0   # previous block
+                else:
+                    oth[idx[di - r, ch], idx[do, ch]] = 1.0   # next block
+        out[s] = (cur, oth)
+    return out
+
+
+def _w_neighbor(xp: Array, direction: int) -> Array:
+    """Packed tensor shifted one BLOCK along Wp (zero boundary)."""
+    zeros = jnp.zeros_like(xp[:, :, :, :1])
+    if direction < 0:     # previous block at each position
+        return jnp.concatenate([zeros, xp[:, :, :, :-1]], axis=3)
+    return jnp.concatenate([xp[:, :, :, 1:], zeros], axis=3)
+
+
+def _pool_w_shifted(xp: Array, layout: PackedLayout, combine) -> Array:
+    """3-window along W via in-lane shifts: combine(x[w-1], x[w], x[w+1]).
+    Boundary positions contribute `None` (caller handles via counts/identity
+    of the combine)."""
+    mats = _w_shift_matrices(layout, (-1, 0, 1))
+    prev_b = _w_neighbor(xp, -1)
+    next_b = _w_neighbor(xp, +1)
+    dt = xp.dtype
+    parts = []
+    for s in (-1, 0, 1):
+        cur, oth = mats[s]
+        curj = jnp.asarray(cur, dt)
+        othj = jnp.asarray(oth, dt)
+        term = xp @ curj
+        nb = prev_b if s < 0 else next_b
+        term = term + nb @ othj
+        parts.append(term)
+    return combine(parts)
+
+
+def packed_avg_pool3(xp: Array, layout: PackedLayout, *, w_in: int,
+                     stride: int = 1) -> Array:
+    """3³ avg pool, SAME, count_include_pad=False, on a packed tensor.
+
+    D/H via lax.reduce_window on the packed tensor (those axes are
+    untouched by packing); W via in-lane shift matmuls.  The divisor plane
+    (window sizes under SAME without pad counting) is a trace-time constant
+    computed per axis and combined by outer product — exact."""
+    # sum over W window first (keeps dtype; shifts are 0/1 matmuls)
+    def comb(parts):
+        return parts[0] + parts[1] + parts[2]
+
+    xf = xp.astype(jnp.float32)
+    ws = _pool_w_shifted(xf, layout, comb)
+    # sum over D/H windows
+    pd = same_pad(ws.shape[1], 3, stride, 1)
+    ph = same_pad(ws.shape[2], 3, stride, 1)
+    summed = jax.lax.reduce_window(
+        ws, 0.0, jax.lax.add, (1, 3, 3, 1, 1), (1, stride, stride, 1, 1),
+        [(0, 0), pd, ph, (0, 0), (0, 0)])
+    # W stride-2: SAME with even W anchors windows at [2o, 2o+2] (pad_lo=0),
+    # i.e. the centered stride-1 sums at ODD positions
+    if stride == 2:
+        summed = _w_downsample2(summed, layout, offset=1)
+
+    # divisor: outer product of per-axis true-window counts
+    def axis_counts(n, stride):
+        lo, _ = same_pad(n, 3, stride, 1)
+        outn = -(-n // stride)
+        cnt = []
+        for o in range(outn):
+            start = o * stride - lo
+            cnt.append(sum(1 for k in range(3) if 0 <= start + k < n))
+        return np.asarray(cnt, np.float32)
+
+    d_in, h_in = xp.shape[1], xp.shape[2]
+    cd = axis_counts(d_in, stride)
+    chh = axis_counts(h_in, stride)
+    cw = axis_counts(w_in, stride)
+    out_w = cw.shape[0]
+    r_out = layout.r if stride == 1 else layout.r // 2
+    # packed W counts: (Wp_out, r_out·c) gathered from per-voxel counts
+    idx_out = (standard_layout(r_out, layout.c).index()
+               if stride == 2 else layout.index())
+    cw_packed = np.empty((out_w // r_out, r_out * layout.c), np.float32)
+    for wp in range(out_w // r_out):
+        for do in range(r_out):
+            cw_packed[wp, idx_out[do]] = cw[wp * r_out + do]
+    div = (cd[None, :, None, None, None] * chh[None, None, :, None, None]
+           * cw_packed[None, None, None, :, :])
+    return (summed / jnp.asarray(div)).astype(xp.dtype)
+
+
+def _w_downsample2(xp: Array, lin: PackedLayout, offset: int = 0) -> Array:
+    """Stride-2 W subsample of a packed tensor: keep slots 2k+offset.
+    Output W = W/2 with r_out = r/2 over the SAME block count, so the
+    subsample stays in-block — a pure channel gather, no reshape.
+    Degenerate r == 1: keep every other BLOCK instead."""
+    r = lin.r
+    if r == 1:
+        return xp[:, :, :, offset::2]
+    assert r % 2 == 0
+    idx = lin.index()
+    gather = np.concatenate([idx[2 * k + offset] for k in range(r // 2)])
+    return xp[..., gather]
+
+
+def packed_max_pool3(xp: Array, layout: PackedLayout, *, stride: int = 1) -> Array:
+    """3³ max pool, SAME, on a packed tensor.  W window via in-lane shift
+    matmuls with −inf boundary (matmul with 0/1 matrix then where-mask)."""
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
+    mats = _w_shift_matrices(layout, (-1, 0, 1))
+    xf = xp.astype(jnp.float32)
+    prev_b = _w_neighbor(xf, -1)
+    next_b = _w_neighbor(xf, +1)
+    # boundary masks: positions whose shifted source falls outside [0, W)
+    wpn = xp.shape[3]
+    acc = None
+    for s in (-1, 0, 1):
+        cur, oth = mats[s]
+        shifted = xf @ jnp.asarray(cur, jnp.float32)
+        nb = prev_b if s < 0 else next_b
+        shifted = shifted + nb @ jnp.asarray(oth, jnp.float32)
+        # sources outside the volume: only the FIRST block's lowest slot
+        # (s=-1) / LAST block's highest slot (s=+1) read a zero neighbor —
+        # mask those to -inf so max ignores them
+        if s != 0:
+            mask = np.zeros((wpn, layout.r * layout.c), bool)
+            idx = layout.index()
+            if s < 0:
+                mask[0, idx[0]] = True               # w-1 < 0
+            else:
+                mask[-1, idx[layout.r - 1]] = True   # w+1 >= W
+            shifted = jnp.where(jnp.asarray(mask)[None, None, None], neg, shifted)
+        acc = shifted if acc is None else jnp.maximum(acc, shifted)
+    # D/H max windows
+    pd = same_pad(xp.shape[1], 3, stride, 1)
+    ph = same_pad(xp.shape[2], 3, stride, 1)
+    y = jax.lax.reduce_window(
+        acc, -jnp.inf, jax.lax.max, (1, 3, 3, 1, 1), (1, stride, stride, 1, 1),
+        [(0, 0), pd, ph, (0, 0), (0, 0)])
+    if stride == 2:
+        y = _w_downsample2(y, layout, offset=1)
+    return y.astype(xp.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Packed depthwise 3³ conv (for separable convs)
+# ---------------------------------------------------------------------------
+
+
+def packed_depthwise3(xp: Array, w: Array, layout: PackedLayout, *,
+                      w_in: int, stride: int = 1, precision=None) -> Array:
+    """Depthwise 3³ conv (SAME) on a packed tensor.
+
+    D/H taps: grouped conv with feature_group_count = r·C (exact, cheap).
+    Combined with the W taps by scattering the depthwise kernel into a
+    BLOCK-SPARSE dense packed kernel — mathematically the same trick as
+    packed_conv with Cin==Cout and a diagonal channel kernel."""
+    c = layout.c
+    assert w.shape == (3, 3, 3, 1, c) or w.shape == (3, 3, 3, c, 1) or w.shape == (3, 3, 3, c), w.shape
+    wd = w.reshape(3, 3, 3, -1)[..., :c] if w.shape[-1] != c else w.reshape(3, 3, 3, c)
+    # express as dense (diagonal) logical kernel and reuse packed_conv
+    eye = np.eye(c, dtype=np.float32)
+    wdense = jnp.einsum("dhwc,ce->dhwce", wd, jnp.asarray(eye, wd.dtype))
+    r_out = layout.r if stride == 1 else layout.r // 2
+    lout = standard_layout(r_out, c)
+    return packed_conv(xp, wdense, layout, lout, w_in=w_in, kernel=(3, 3, 3),
+                       stride=stride, dilation=1, precision=precision)
+
+
+# ---------------------------------------------------------------------------
+# Packed trilinear 2x upsample (exact vs jax.image.resize "trilinear")
+# ---------------------------------------------------------------------------
+
+
+def packed_resize2x(xp: Array, layout: PackedLayout) -> Array:
+    """Trilinear 2x upsample of a packed tensor (jax.image.resize
+    half-pixel semantics, edges clamped).
+
+    D/H: jax.image.resize on the packed tensor touches only those axes
+    (trilinear is separable; unchanged axes are identity).
+    W: in-lane interpolation — output slot 2δ+0 = 0.75·x[δ] + 0.25·x[δ−1],
+    slot 2δ+1 = 0.75·x[δ] + 0.25·x[δ+1] — via three (rC → 2rC) constant
+    matmuls (current / previous / next block) plus clamp corrections at the
+    two global W boundaries.  Output layout: standard(2r, c)."""
+    r, c = layout.r, layout.c
+    idx_in = layout.index()
+    lout = standard_layout(2 * r, c)
+    idx_out = lout.index()
+
+    b, d, h, wpn, rc = xp.shape
+    xf = xp.astype(jnp.float32)
+    xf = jax.image.resize(xf, (b, 2 * d, 2 * h, wpn, rc), method="trilinear")
+
+    A = np.zeros((r * c, 2 * r * c), np.float32)    # current block
+    B = np.zeros((r * c, 2 * r * c), np.float32)    # previous block
+    C2 = np.zeros((r * c, 2 * r * c), np.float32)   # next block
+    for di in range(r):
+        for ch in range(c):
+            A[idx_in[di, ch], idx_out[2 * di, ch]] += 0.75
+            A[idx_in[di, ch], idx_out[2 * di + 1, ch]] += 0.75
+            if di > 0:
+                A[idx_in[di - 1, ch], idx_out[2 * di, ch]] += 0.25
+            else:
+                B[idx_in[r - 1, ch], idx_out[0, ch]] += 0.25
+            if di < r - 1:
+                A[idx_in[di + 1, ch], idx_out[2 * di + 1, ch]] += 0.25
+            else:
+                C2[idx_in[0, ch], idx_out[2 * r - 1, ch]] += 0.25
+
+    prev_b = _w_neighbor(xf, -1)
+    next_b = _w_neighbor(xf, +1)
+    y = xf @ jnp.asarray(A) + prev_b @ jnp.asarray(B) + next_b @ jnp.asarray(C2)
+    # clamp corrections: first output voxel reads x[-1]→x[0], last reads
+    # x[W]→x[W-1]; the zero-neighbor terms above contributed 0 there
+    first_src = xf[:, :, :, 0, idx_in[0]]           # (b, 2d, 2h, c)
+    last_src = xf[:, :, :, -1, idx_in[r - 1]]
+    y = y.at[:, :, :, 0, idx_out[0]].add(0.25 * first_src)
+    y = y.at[:, :, :, -1, idx_out[2 * r - 1]].add(0.25 * last_src)
+    return y.astype(xp.dtype)
+
+
+# ---------------------------------------------------------------------------
+# PX: packed activation wrapper (traced data + static layout metadata)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class PX:
+    """A packed activation flowing through the model: `data` is the traced
+    (B, D, H, Wp, rC) array; `layout` and the original W size are static
+    pytree aux data (hashable), so PX works under jit/grad/remat/vmap.
+
+    Implements the small algebra cells need: PX + PX (same layout) and
+    scalar · PX (MixedOp weighting)."""
+
+    def __init__(self, data: Array, layout: PackedLayout, w_in: int):
+        self.data = data
+        self.layout = layout
+        self.w_in = w_in
+
+    def tree_flatten(self):
+        return (self.data,), (self.layout, self.w_in)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    @staticmethod
+    def pack(x: Array, r: int) -> "PX":
+        w_in = x.shape[3]
+        return PX(pack(x, r), standard_layout(r, x.shape[4]), w_in)
+
+    def unpack(self) -> Array:
+        """Back to (B, D, H, W, C).  Standard layout: free reshape; other
+        layouts gather lanes to standard order first."""
+        std = self.to_standard()
+        return unpack(std.data, std.layout.r)
+
+    def to_standard(self) -> "PX":
+        lay = self.layout
+        std = standard_layout(lay.r, lay.c)
+        if lay.idx == std.idx:
+            return self
+        gathered = self.data[..., lay.index().reshape(-1)]
+        return PX(gathered, std, self.w_in)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def astype(self, dt) -> "PX":
+        return PX(self.data.astype(dt), self.layout, self.w_in)
+
+    def __add__(self, other: "PX") -> "PX":
+        assert isinstance(other, PX) and other.layout.idx == self.layout.idx, \
+            "PX addition requires identical layouts"
+        return PX(self.data + other.data, self.layout, self.w_in)
+
+    def __mul__(self, scalar) -> "PX":
+        return PX(self.data * scalar, self.layout, self.w_in)
+
+    __rmul__ = __mul__
+
+    def repack(self, r_new: int) -> "PX":
+        """Change the packing factor (standard layout): moving factors
+        between Wp and channels is a FREE reshape in row-major (adjacent
+        dims merge/split)."""
+        std = self.to_standard()
+        r, c = std.layout.r, std.layout.c
+        if r_new == r:
+            return std
+        b, d, h, wp, rc = std.data.shape
+        assert (wp * r) % r_new == 0, (wp, r, r_new)
+        data = std.data.reshape(b, d, h, wp * r // r_new, r_new * c)
+        return PX(data, standard_layout(r_new, c), std.w_in)
+
+    def slice_channels(self, start_c: int, n_c: int) -> "PX":
+        """Logical channel slice [start_c, start_c+n_c).  Contiguous (zero
+        cost) when the layout is a concat of standard blocks aligned to the
+        slice; otherwise a lane gather."""
+        lay = self.layout
+        idx = lay.index()[:, start_c:start_c + n_c]   # (r, n_c)
+        flat = idx.reshape(-1)
+        lo, hi = flat.min(), flat.max()
+        std = standard_layout(lay.r, n_c)
+        if (hi - lo + 1 == flat.size
+                and np.array_equal(flat - lo, std.index().reshape(-1))):
+            return PX(self.data[..., int(lo):int(hi) + 1], std, self.w_in)
+        return PX(self.data[..., flat], std, self.w_in)
+
+
+def px_concat(parts: Sequence[PX]) -> PX:
+    """Concatenate packed activations along logical channels."""
+    lay = concat_layouts([p.layout for p in parts])
+    data = jnp.concatenate([p.data for p in parts], axis=-1)
+    return PX(data, lay, parts[0].w_in)

@@ -31,6 +31,17 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .packed import (
+    PX,
+    packed_avg_pool3,
+    packed_conv,
+    packed_depthwise3,
+    packed_group_norm,
+    packed_max_pool3,
+    packed_resize2x,
+    packed_transpose2x,
+    standard_layout,
+)
 from .pallas.conv3d import conv3d as pallas_conv3d
 from .pallas.conv3d import conv_transpose2x, pointwise_conv
 from .pallas.groupnorm import group_norm as pallas_group_norm
@@ -56,20 +67,40 @@ class PallasGroupNorm(nn.Module):
                                  self.num_groups, self.epsilon, False)
 
 
+class PackedGroupNormMod(nn.Module):
+    """GroupNorm on a PX activation; nn.GroupNorm's param tree."""
+
+    num_groups: int
+    dtype: jnp.dtype = jnp.float32
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: PX) -> PX:
+        c = x.layout.c
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        y = packed_group_norm(x.data.astype(self.dtype), scale, bias,
+                              self.num_groups, x.layout, self.epsilon, False)
+        return PX(y, x.layout, x.w_in)
+
+
 def _norm(kind: str, gn_groups: int, dtype,
           use_pallas: bool = False) -> Callable[[], nn.Module]:
     if kind in ("group", "instance"):
-        def make(c):
+        def make(c, packed=False):
             groups = c if kind == "instance" else _gn_groups_for(c, gn_groups)
-            # both classes share the param tree; name fixed for checkpoint
-            # compatibility across the use_pallas flag
+            # all classes share the param tree; name fixed for checkpoint
+            # compatibility across the use_pallas / packed flags
+            if packed:
+                return PackedGroupNormMod(num_groups=groups, dtype=dtype,
+                                          name="norm")
             if use_pallas:
                 return PallasGroupNorm(num_groups=groups, dtype=dtype, name="norm")
             return nn.GroupNorm(num_groups=groups, dtype=dtype,
                                 param_dtype=jnp.float32, name="norm")
         return make
     if kind == "none":
-        def make(c):
+        def make(c, packed=False):
             return lambda x: x
         return make
     raise ValueError(f"unknown norm {kind!r}")
@@ -129,6 +160,56 @@ class PallasConv3(nn.Module):
                              self.stride, self.dilation, False)
 
 
+class PackedConvK(nn.Module):
+    """Packed conv (kernel 1/3, stride 1/2, dilation 1/2) with nn.Conv's
+    param tree ('kernel', logical shape).  Consumes and produces PX; the
+    packing factor halves under stride 2 (ops/packed.py)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    dtype: jnp.dtype = jnp.float32
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: PX) -> PX:
+        cin = x.layout.c
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel,) * 3 + (cin, self.features), jnp.float32)
+        r_out = x.layout.r if self.stride == 1 else max(1, x.layout.r // 2)
+        lout = standard_layout(r_out, self.features)
+        y = packed_conv(x.data.astype(self.dtype), w.astype(self.dtype),
+                        x.layout, lout, w_in=x.w_in,
+                        kernel=(self.kernel,) * 3, stride=self.stride,
+                        dilation=self.dilation)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + jnp.tile(b, r_out).astype(y.dtype)   # standard layout
+        w_out = -(-x.w_in // self.stride)
+        return PX(y, lout, w_out)
+
+
+class PackedTranspose2xMod(nn.Module):
+    """k2s2 transpose conv on PX with nn.ConvTranspose's param tree.
+    Output packing factor doubles (callers repack to the target level)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: PX) -> PX:
+        cin = x.layout.c
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (2, 2, 2, cin, self.features), jnp.float32)
+        std = x.to_standard()
+        lout = standard_layout(2 * std.layout.r, self.features)
+        y = packed_transpose2x(std.data.astype(self.dtype),
+                               w.astype(self.dtype), std.layout, lout)
+        return PX(y, lout, 2 * std.w_in)
+
+
 class ConvNormAct(nn.Module):
     """conv3d → GroupNorm → ReLU.  The basic building block of every conv op."""
 
@@ -144,10 +225,14 @@ class ConvNormAct(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        # both branches name the module "conv" with param "kernel", so the
+    def __call__(self, x) -> Array:
+        # all branches name the module "conv" with param "kernel", so the
         # checkpoint pytree is identical whichever path a config picks
-        if self.use_pallas and self.kernel == 3 and self.groups == 1:
+        packed = isinstance(x, PX)
+        if packed:
+            x = PackedConvK(self.features, self.kernel, self.stride,
+                            self.dilation, self.dtype, name="conv")(x)
+        elif self.use_pallas and self.kernel == 3 and self.groups == 1:
             x = PallasConv3(self.features, self.stride, self.dilation,
                             self.dtype, name="conv")(x)
         else:
@@ -163,9 +248,10 @@ class ConvNormAct(nn.Module):
                 param_dtype=jnp.float32,
                 name="conv",
             )(x)
-        x = _norm(self.norm, self.gn_groups, self.dtype, self.use_pallas)(self.features)(x)
+        x = _norm(self.norm, self.gn_groups, self.dtype,
+                  self.use_pallas)(self.features, packed)(x)
         if self.act:
-            x = nn.relu(x)
+            x = PX(nn.relu(x.data), x.layout, x.w_in) if packed else nn.relu(x)
         return x
 
 
@@ -180,33 +266,59 @@ class SepConv(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        c_in = x.shape[-1]
-        x = nn.Conv(
-            c_in,
-            kernel_size=(3, 3, 3),
-            strides=(self.stride,) * 3,
-            feature_group_count=c_in,
-            padding="SAME",
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="dw",
-        )(x)
-        if self.use_pallas:
-            x = PallasPointwise(self.features, self.dtype, name="pw")(x)
+    def __call__(self, x) -> Array:
+        packed = isinstance(x, PX)
+        if packed:
+            x = PackedDepthwise3(self.stride, self.dtype, name="dw")(x)
+            x = PackedConvK(self.features, 1, 1, 1, self.dtype, name="pw")(x)
         else:
+            c_in = x.shape[-1]
             x = nn.Conv(
-                self.features,
-                kernel_size=(1, 1, 1),
+                c_in,
+                kernel_size=(3, 3, 3),
+                strides=(self.stride,) * 3,
+                feature_group_count=c_in,
                 padding="SAME",
                 use_bias=False,
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
-                name="pw",
+                name="dw",
             )(x)
-        x = _norm(self.norm, self.gn_groups, self.dtype, self.use_pallas)(self.features)(x)
-        return nn.relu(x)
+            if self.use_pallas:
+                x = PallasPointwise(self.features, self.dtype, name="pw")(x)
+            else:
+                x = nn.Conv(
+                    self.features,
+                    kernel_size=(1, 1, 1),
+                    padding="SAME",
+                    use_bias=False,
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name="pw",
+                )(x)
+        x = _norm(self.norm, self.gn_groups, self.dtype,
+                  self.use_pallas)(self.features, packed)(x)
+        return PX(nn.relu(x.data), x.layout, x.w_in) if packed else nn.relu(x)
+
+
+class PackedDepthwise3(nn.Module):
+    """Depthwise 3³ conv on PX with flax's depthwise param tree
+    ('kernel' of shape (3,3,3,1,C))."""
+
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: PX) -> PX:
+        c = x.layout.c
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, 3, 1, c), jnp.float32)
+        std = x.to_standard()
+        y = packed_depthwise3(std.data.astype(self.dtype), w.astype(self.dtype),
+                              std.layout, w_in=std.w_in, stride=self.stride)
+        r_out = std.layout.r if self.stride == 1 else max(1, std.layout.r // 2)
+        w_out = -(-std.w_in // self.stride)
+        return PX(y, standard_layout(r_out, c), w_out)
 
 
 class Zero(nn.Module):
@@ -215,7 +327,19 @@ class Zero(nn.Module):
     stride: int = 1
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x) -> Array:
+        if isinstance(x, PX):
+            if self.stride == 1:
+                std = x.to_standard()
+                return PX(jnp.zeros_like(std.data), std.layout, std.w_in)
+            s = self.stride
+            r_out = max(1, x.layout.r // s)
+            lout = standard_layout(r_out, x.layout.c)
+            b, d, h, wp, _ = x.data.shape
+            w_out = -(-x.w_in // s)
+            zero = jnp.zeros((b, -(-d // s), -(-h // s), w_out // r_out,
+                              lout.packed_channels), x.dtype)
+            return PX(zero, lout, w_out)
         if self.stride == 1:
             return jnp.zeros_like(x)
         s = self.stride
@@ -235,7 +359,17 @@ class Pool(nn.Module):
     stride: int = 1
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x) -> Array:
+        if isinstance(x, PX):
+            std = x.to_standard()
+            if self.kind == "avg":
+                y = packed_avg_pool3(std.data, std.layout, w_in=std.w_in,
+                                     stride=self.stride)
+            else:
+                y = packed_max_pool3(std.data, std.layout, stride=self.stride)
+            r_out = std.layout.r if self.stride == 1 else max(1, std.layout.r // 2)
+            w_out = -(-std.w_in // self.stride)
+            return PX(y, standard_layout(r_out, std.layout.c), w_out)
         win = (1, 3, 3, 3, 1)
         strides = (1, self.stride, self.stride, self.stride, 1)
         if self.kind == "avg":
@@ -260,8 +394,11 @@ class UpTranspose(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        if self.use_pallas:
+    def __call__(self, x) -> Array:
+        packed = isinstance(x, PX)
+        if packed:
+            x = PackedTranspose2xMod(self.features, self.dtype, name="deconv")(x)
+        elif self.use_pallas:
             x = PallasTranspose2x(self.features, self.dtype, name="deconv")(x)
         else:
             x = nn.ConvTranspose(
@@ -274,8 +411,9 @@ class UpTranspose(nn.Module):
                 param_dtype=jnp.float32,
                 name="deconv",
             )(x)
-        x = _norm(self.norm, self.gn_groups, self.dtype, self.use_pallas)(self.features)(x)
-        return nn.relu(x)
+        x = _norm(self.norm, self.gn_groups, self.dtype,
+                  self.use_pallas)(self.features, packed)(x)
+        return PX(nn.relu(x.data), x.layout, x.w_in) if packed else nn.relu(x)
 
 
 class UpSampleConv(nn.Module):
@@ -289,9 +427,16 @@ class UpSampleConv(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        b, d, h, w, c = x.shape
-        x = jax.image.resize(x, (b, 2 * d, 2 * h, 2 * w, c), method="trilinear")
+    def __call__(self, x) -> Array:
+        if isinstance(x, PX):
+            std = x.to_standard()
+            y = packed_resize2x(std.data, std.layout)
+            x = PX(y, standard_layout(2 * std.layout.r, std.layout.c),
+                   2 * std.w_in)
+        else:
+            b, d, h, w, c = x.shape
+            x = jax.image.resize(x, (b, 2 * d, 2 * h, 2 * w, c),
+                                 method="trilinear")
         if self.separable:
             return SepConv(self.features, 1, self.norm, self.gn_groups, self.dtype,
                            self.use_pallas)(x)

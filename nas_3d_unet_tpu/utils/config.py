@@ -69,6 +69,7 @@ class ModelConfig:
     dtype: str = "bfloat16"
     use_pallas: bool = False                  # Pallas kernels vs lax reference path
     merge_ops: bool = True                    # exact op merging in derived cells
+    packed: bool = False                      # lane-packed execution (ops/packed.py)
 
 
 @dataclass(frozen=True)
