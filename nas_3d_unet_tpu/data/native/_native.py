@@ -63,6 +63,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)), ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]
+        lib.crop_batch_bytes.restype = None
+        lib.crop_batch_bytes.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64]
         _LIB = lib
         return _LIB
 
@@ -97,3 +103,35 @@ def union_bbox_native(vols: List[np.ndarray]) -> Optional[Tuple[slice, slice, sl
     bbox = (ctypes.c_int64 * 6)()
     lib.union_foreground_bbox(ptrs, len(contig), d, h, w, bbox)
     return (slice(bbox[0], bbox[1]), slice(bbox[2], bbox[3]), slice(bbox[4], bbox[5]))
+
+
+def crop_batch_native(vols: List[np.ndarray], starts: np.ndarray,
+                      patch: Tuple[int, int, int]) -> Optional[np.ndarray]:
+    """Multithreaded batched patch crop (the generator hot loop).
+
+    `vols`: n C-contiguous volumes of shape (D, H, W[, C]) sharing dtype and
+    trailing (channel) shape; `starts`: (n, 3) int64 crop origins.  Returns
+    the (n, pd, ph, pw[, C]) batch, or None when the library is missing.
+    """
+    lib = _load()
+    if lib is None or not vols:
+        return None
+    v0 = vols[0]
+    trail = v0.shape[3:]
+    vox_bytes = int(np.prod(trail, dtype=np.int64)) * v0.itemsize if trail \
+        else v0.itemsize
+    if any((not v.flags.c_contiguous) or v.dtype != v0.dtype
+           or v.shape[3:] != trail for v in vols):
+        return None
+    n = len(vols)
+    pd, ph, pw = (int(x) for x in patch)
+    dims = np.asarray([v.shape[:3] for v in vols], dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    out = np.empty((n, pd, ph, pw) + trail, dtype=v0.dtype)
+    ptr_t = ctypes.c_void_p * n
+    ptrs = ptr_t(*[v.ctypes.data for v in vols])
+    lib.crop_batch_bytes(
+        ptrs, dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.c_void_p), n, pd, ph, pw, vox_bytes)
+    return out

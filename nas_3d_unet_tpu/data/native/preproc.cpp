@@ -98,3 +98,38 @@ int32_t union_foreground_bbox(const float* const* vols, int64_t m,
 }
 
 }  // extern "C"
+
+// Batched random-patch crop: the online-generator hot loop (SURVEY.md §3.2
+// "generator.next()" — host batch assembly).  Copies n patches of
+// (pd, ph, pw) voxels from per-sample source volumes into one contiguous
+// batch buffer.  Operates on BYTES per voxel-row so one entry point serves
+// f32 images (4ch), f32 region labels (3ch) and int class labels alike.
+// OpenMP over (sample, depth-plane); each inner copy is a contiguous
+// memcpy of pw*vox_bytes.
+extern "C" {
+
+void crop_batch_bytes(const char** srcs,
+                      const int64_t* dims,    // (n, 3): D, H, W per sample
+                      const int64_t* starts,  // (n, 3): crop origin
+                      char* out, int64_t n,
+                      int64_t pd, int64_t ph, int64_t pw,
+                      int64_t vox_bytes) {
+#pragma omp parallel for collapse(2) schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        for (int64_t d = 0; d < pd; ++d) {
+            const int64_t H = dims[i * 3 + 1], W = dims[i * 3 + 2];
+            const int64_t sd = starts[i * 3], sh = starts[i * 3 + 1],
+                          sw = starts[i * 3 + 2];
+            const char* src = srcs[i]
+                + (((sd + d) * H + sh) * W + sw) * vox_bytes;
+            char* dst = out + (((i * pd + d) * ph) * pw) * vox_bytes;
+            for (int64_t h = 0; h < ph; ++h) {
+                __builtin_memcpy(dst + h * pw * vox_bytes,
+                                 src + h * W * vox_bytes,
+                                 static_cast<size_t>(pw * vox_bytes));
+            }
+        }
+    }
+}
+
+}  // extern "C" (crop_batch_bytes)

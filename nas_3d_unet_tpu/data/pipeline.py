@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..metrics.dice import labels_to_class_indices, labels_to_regions
+from .native._native import crop_batch_native
 from .preprocess import load_patient_h5
 
 Array = jax.Array
@@ -73,9 +74,10 @@ class PatientCache:
         return len(self.records)
 
 
-def _random_crop(rng: np.random.Generator, image: np.ndarray, label: Optional[np.ndarray],
-                 patch: Tuple[int, int, int]):
-    """Random patch crop; volumes smaller than the patch are end-padded."""
+def _crop_at(image: np.ndarray, label: Optional[np.ndarray], start,
+             patch: Tuple[int, int, int]):
+    """Patch crop at a given origin; volumes smaller than the patch are
+    end-padded (the origin is 0 on padded axes by construction)."""
     shape = image.shape[:3]
     pad = [max(0, p - s) for p, s in zip(patch, shape)]
     if any(pad):
@@ -83,8 +85,6 @@ def _random_crop(rng: np.random.Generator, image: np.ndarray, label: Optional[np
         image = np.pad(image, pw + [(0, 0)])
         if label is not None:
             label = np.pad(label, pw + [(0, 0)] * (label.ndim - 3))
-        shape = image.shape[:3]
-    start = [rng.integers(0, s - p + 1) for s, p in zip(shape, patch)]
     sl = tuple(slice(st, st + p) for st, p in zip(start, patch))
     img = image[sl]
     lab = label[sl] if label is not None else None
@@ -131,10 +131,30 @@ class PatchGenerator:
                               intensity_scale=self.scale)
 
     def next(self) -> Tuple[np.ndarray, np.ndarray]:
-        xs, ys = [], []
+        # fast path: non-augmenting (device-side augmentation) batches whose
+        # volumes all fit the patch go through the C++/OpenMP batch cropper
+        # (crop_batch_bytes) — one call for images, one for labels.  RNG
+        # draw order matches the numpy path exactly (idx, then 3 starts,
+        # per sample), so both paths produce identical batches per seed.
+        recs, starts = [], []
+        native_ok = not self.augment
         for _ in range(self.batch_size):
             rec = self.cache.records[self.rng.integers(0, len(self.cache))]
-            img, lab = _random_crop(self.rng, rec["image"], rec.get("label"), self.patch)
+            shape = rec["image"].shape[:3]
+            if any(s < p for s, p in zip(shape, self.patch)):
+                native_ok = False
+            starts.append([int(self.rng.integers(0, max(1, s - p + 1)))
+                           for s, p in zip(shape, self.patch)])
+            recs.append(rec)
+        if native_ok and "label" in recs[0]:
+            st = np.asarray(starts, dtype=np.int64)
+            x = crop_batch_native([r["image"] for r in recs], st, self.patch)
+            y = crop_batch_native([r["label"] for r in recs], st, self.patch)
+            if x is not None and y is not None:
+                return x, y
+        xs, ys = [], []
+        for rec, st in zip(recs, starts):
+            img, lab = _crop_at(rec["image"], rec.get("label"), st, self.patch)
             if self.augment:
                 img, lab = _augment_np(self.rng, img, lab, self.flip_prob, self.shift, self.scale)
             xs.append(img)

@@ -40,6 +40,7 @@ from ..utils.logging import MetricsLogger
 from ..utils.params import count_params
 from ..utils.timing import fence
 from ..train.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from ..train.loop import make_eval_step
 
 Array = jax.Array
 
@@ -199,6 +200,15 @@ class Searcher:
                                                 self.a_tx, aug, dc.label_mode)
         self.warmup_step = make_warmup_step(supernet.apply, self.w_tx, aug,
                                             dc.label_mode)
+
+        def _super_apply(bundle, x):
+            params, aw = bundle
+            return supernet.apply(params, x, aw)
+
+        # supernet eval on the α-split: loss + hard per-region dice with the
+        # CURRENT architecture weights frozen (reference `Searching.validate`,
+        # SURVEY.md §2 "Search driver")
+        self.eval_step = make_eval_step(_super_apply, label_mode=dc.label_mode)
         self.logger = MetricsLogger(log_path)
 
         # the search splits its data into a w-part and an α-part
@@ -269,6 +279,10 @@ class Searcher:
                            train_loss=float(np.mean([float(v) for v in tr_losses])),
                            val_loss=float(np.mean([float(v) for v in va_losses])),
                            patches_per_sec=pps, **alpha_summary(state.alphas))
+                if not warm:
+                    val = self.evaluate(state, g_a, self.cfg.search.val_steps)
+                    rec.update(eval_loss=val["loss"], dice_wt=val["dice_wt"],
+                               dice_tc=val["dice_tc"], dice_et=val["dice_et"])
                 self.logger.log(**rec)
 
                 if (epoch + 1) % sc.checkpoint_every == 0 or epoch == epochs - 1:
@@ -279,3 +293,19 @@ class Searcher:
             pf_w.close()
             pf_a.close()
         return state, genotype
+
+    def evaluate(self, state: SearchState, gen: PatchGenerator,
+                 val_steps: int) -> Dict[str, float]:
+        """Frozen-α supernet eval on the α-split: loss + per-region dice."""
+        aw = arch_weights_from_alphas(state.alphas)
+        accum: Dict[str, list] = {}
+        for _ in range(val_steps):
+            x, y = gen.next()
+            if self.sharding is not None:
+                # eval batches carry the training mesh sharding (device-0-only
+                # eval under a DP mesh is silent and wrong)
+                x, y = jax.device_put((np.asarray(x), np.asarray(y)), self.sharding)
+            m = self.eval_step((state.params, aw), jnp.asarray(x), jnp.asarray(y))
+            for k, v in m.items():
+                accum.setdefault(k, []).append(float(v))
+        return {k: float(np.mean(v)) for k, v in accum.items()}

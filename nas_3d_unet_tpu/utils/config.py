@@ -85,6 +85,7 @@ class SearchConfig:
     unrolled: bool = False                    # second-order DARTS (ref: first-order)
     xi: float = 0.0                           # virtual-step lr; 0 -> use w_lr
     warmup_epochs: int = 5                    # epochs of w-only updates before alpha
+    val_steps: int = 8                        # α-split eval batches per epoch
     checkpoint_dir: str = "ckpt/search"
     checkpoint_every: int = 1                 # epochs
     seed: int = 0

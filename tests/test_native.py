@@ -68,3 +68,44 @@ def test_preprocess_arrays_native_vs_numpy_path(monkeypatch):
     assert rec_native["image"].shape == rec_numpy["image"].shape
     np.testing.assert_allclose(rec_native["image"], rec_numpy["image"], atol=1e-5)
     np.testing.assert_array_equal(rec_native["label"], rec_numpy["label"])
+
+
+def test_crop_batch_native_matches_numpy_path():
+    # the generator's native fast path must produce byte-identical batches
+    # to the numpy path for the same seed (same RNG draw order)
+    import numpy as np
+    from nas_3d_unet_tpu.data.native._native import available, crop_batch_native
+
+    if not available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    vols = [np.ascontiguousarray(rng.standard_normal((12 + i, 11, 10, 4)).astype(np.float32))
+            for i in range(4)]
+    starts = np.asarray([[2, 1, 0], [0, 3, 2], [4, 0, 1], [1, 1, 1]], np.int64)
+    out = crop_batch_native(vols, starts, (8, 8, 8))
+    for i, (v, st) in enumerate(zip(vols, starts)):
+        want = v[st[0]:st[0] + 8, st[1]:st[1] + 8, st[2]:st[2] + 8]
+        np.testing.assert_array_equal(out[i], want)
+
+
+def test_generator_native_and_numpy_paths_identical(tmp_path):
+    import numpy as np
+    from nas_3d_unet_tpu.data import pipeline as pl
+    from tests.helpers import write_synthetic_h5
+
+    paths = write_synthetic_h5(str(tmp_path / "h5"), n_patients=3)
+    cache = pl.PatientCache(paths)
+    g1 = pl.PatchGenerator(cache, (8, 8, 8), 4, seed=7, augment=False)
+    g2 = pl.PatchGenerator(cache, (8, 8, 8), 4, seed=7, augment=False)
+    x1, y1 = g1.next()
+    # force the numpy fallback on the second generator
+    import nas_3d_unet_tpu.data.pipeline as pmod
+    orig = pmod.crop_batch_native
+    pmod.crop_batch_native = lambda *a, **k: None
+    try:
+        x2, y2 = g2.next()
+    finally:
+        pmod.crop_batch_native = orig
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(y1, y2)
