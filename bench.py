@@ -55,10 +55,16 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    # lane-packed execution + no remat is the measured-fastest single-chip
+    # config (packed residuals are lane-dense, so saving them beats
+    # recompute — ops/packed.py, PERF_NOTES.md round 2)
+    packed = os.environ.get("BENCH_PACKED", "1") == "1"
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
 
     net = DerivedNet(genotype=default_genotype(3), in_channels=4, num_classes=3,
                      base_channels=16, depth=3, n_nodes=3, gn_groups=8,
-                     norm="group", remat=True, dtype_name="bfloat16")
+                     norm="group", remat=remat, dtype_name="bfloat16",
+                     packed=packed)
     tx = make_optimizer(3e-4, 1e-4)
     step = make_train_step(net.apply, tx,
                            augment=dict(flip_prob=0.5, intensity_shift=0.1,

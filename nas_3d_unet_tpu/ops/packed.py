@@ -200,30 +200,33 @@ def packed_conv(xp: Array, w: Array, lin: PackedLayout, lout: PackedLayout,
     kp = int(kp_arr[0])
     o_min = int(taps[:, 2].min())
 
-    # Build the vectorized scatter index arrays once (trace-time numpy).
+    # Build the packed kernel as ONE dense einsum against a tiny trace-time
+    # one-hot constant — NOT a scatter.  (Round-2 profile: .at[].set with
+    # explicit index arrays lowered to scatter HLO + s32 index constants
+    # whose host→device copies and materialization fusions were ~70% of the
+    # packed step's device time; the convs themselves were ~3%.)
+    #
+    # pos_to_c / pos_to_d: packed input position p → (logical channel,
+    # W-slot); OH[kw, kwp, p, δo] = 1 iff input slot δ(p) at packed-kernel
+    # position kwp feeds output slot δo through logical W-tap kw, i.e.
+    #   kwp·r_in + δ(p) == stride·δo + dilation·kw − pad_lo − o_min·r_in.
     idx_in = lin.index()                            # (r_in, cin)
-    idx_out = lout.index()                          # (r_out, cout)
-    kw_l = taps[:, 0]                               # (T,)
-    do_l = taps[:, 1]
-    kwp_l = taps[:, 2] - o_min
-    di_l = taps[:, 3]
-    T = taps.shape[0]
+    pad_lo_w, _ = same_pad(w_in, kw_sz, stride, dilation)
+    # sel[kw, kwp, p, δo, ci] = 1 iff packed input position p holds logical
+    # channel ci at W-slot δi, and that slot at packed-kernel position kwp
+    # feeds output slot δo through logical W-tap kw:
+    #   kwp·r_in + δi == stride·δo + dilation·kw − pad_lo − o_min·r_in
+    sel = np.zeros((kw_sz, kp, r_in * cin, r_out, cin), np.float32)
+    for kw in range(kw_sz):
+        for do in range(r_out):
+            u = stride * do + dilation * kw - pad_lo_w - o_min * r_in
+            kwp, di = u // r_in, u % r_in
+            for ci in range(cin):
+                sel[kw, kwp, idx_in[di, ci], do, ci] = 1.0
 
-    # destination (T, cin, cout) positions in the packed kernel
-    kwp_ix = np.broadcast_to(kwp_l[:, None, None], (T, cin, cout))
-    pin_ix = np.broadcast_to(idx_in[di_l][:, :, None], (T, cin, cout))
-    pout_ix = np.broadcast_to(idx_out[do_l][:, None, :], (T, cin, cout))
-    kw_ix = np.broadcast_to(kw_l[:, None, None], (T, cin, cout))
-
-    def build_packed_kernel(w):
-        wp = jnp.zeros((kd, kh, kp, r_in * cin, r_out * cout), w.dtype)
-        # scatter every logical tap into its packed position; disjoint
-        # destinations, so .at[].set is exact (no accumulation races)
-        src = w[:, :, kw_ix, np.broadcast_to(np.arange(cin)[None, :, None], (T, cin, cout)),
-                np.broadcast_to(np.arange(cout)[None, None, :], (T, cin, cout))]
-        return wp.at[:, :, kwp_ix, pin_ix, pout_ix].set(src)
-
-    wp = build_packed_kernel(w)
+    selj = jnp.asarray(sel, w.dtype)
+    wp = jnp.einsum("wkpoc,dhwce->dhkpoe", selj, w)  # (kd,kh,KP,rCin,r_out,Cout)
+    wp = wp.reshape(kd, kh, kp, r_in * cin, r_out * cout)
 
     d_in, h_in = xp.shape[1], xp.shape[2]
     pad_d = same_pad(d_in, kd, stride, dilation)
@@ -317,29 +320,18 @@ def packed_transpose2x(xp: Array, w: Array, lin: PackedLayout,
     # one 1³ conv producing channels [δd, δh, δo·cout] with δo = 2δi+δw.
     # flax ConvTranspose (lax.conv_transpose, transpose_kernel=False) gives
     # y[2i+δ] = w[1−δ]·x[i] per axis, so output offset δ reads kernel 1−δ.
-    kw_ix = []
-    di_ix = []
-    dst = []
-    for dd in range(2):
-        for dh in range(2):
-            for di in range(r_in):
-                for dw in range(2):
-                    do = 2 * di + dw
-                    for ci in range(cin):
-                        for co in range(cout):
-                            kw_ix.append((1 - dd, 1 - dh, 1 - dw, ci, co))
-                            di_ix.append(idx_in[di, ci])
-                            dst.append(((dd * 2 + dh) * r_out + do) * cout + co)
-    kw_ix = np.asarray(kw_ix, dtype=np.int64)
-    di_ix = np.asarray(di_ix, dtype=np.int64)
-    dst = np.asarray(dst, dtype=np.int64)
-
-    def build(w):
-        wp = jnp.zeros((1, 1, 1, r_in * cin, 4 * r_out * cout), w.dtype)
-        src = w[kw_ix[:, 0], kw_ix[:, 1], kw_ix[:, 2], kw_ix[:, 3], kw_ix[:, 4]]
-        return wp.at[0, 0, 0, di_ix, dst].set(src)
-
-    wp = build(w)
+    # Built as a dense einsum against a tiny one-hot constant (scatter HLO
+    # is pathologically slow on TPU — see packed_conv).
+    # sel[δw, p, δo, ci] = 1 iff packed position p holds (δi, ci) and
+    # δo == 2δi + δw.
+    sel = np.zeros((2, r_in * cin, r_out, cin), np.float32)
+    for di in range(r_in):
+        for dw in range(2):
+            for ci in range(cin):
+                sel[dw, idx_in[di, ci], 2 * di + dw, ci] = 1.0
+    wf = w[::-1, ::-1, ::-1]                        # kernel index 1−δ per axis
+    wp = jnp.einsum("wpoc,dhwce->pdhoe", jnp.asarray(sel, w.dtype), wf)
+    wp = wp.reshape(1, 1, 1, r_in * cin, 4 * r_out * cout)
     dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
                                         ("NDHWC", "DHWIO", "NDHWC"))
     y = jax.lax.conv_general_dilated(xp, wp, (1, 1, 1),
@@ -638,11 +630,15 @@ def packed_resize2x(xp: Array, layout: PackedLayout) -> Array:
     next_b = _w_neighbor(xf, +1)
     y = xf @ jnp.asarray(A) + prev_b @ jnp.asarray(B) + next_b @ jnp.asarray(C2)
     # clamp corrections: first output voxel reads x[-1]→x[0], last reads
-    # x[W]→x[W-1]; the zero-neighbor terms above contributed 0 there
-    first_src = xf[:, :, :, 0, idx_in[0]]           # (b, 2d, 2h, c)
-    last_src = xf[:, :, :, -1, idx_in[r - 1]]
-    y = y.at[:, :, :, 0, idx_out[0]].add(0.25 * first_src)
-    y = y.at[:, :, :, -1, idx_out[2 * r - 1]].add(0.25 * last_src)
+    # x[W]→x[W-1]; the zero-neighbor terms above contributed 0 there.
+    # The output layout is standard, so slot 0 / slot 2r−1 are STATIC
+    # channel slices (array-indexed .at[] would lower to scatter HLO).
+    assert np.array_equal(idx_in, standard_layout(r, c).index()), \
+        "packed_resize2x requires the standard layout (callers to_standard())"
+    first_src = xf[:, :, :, 0, 0:c]                 # (b, 2d, 2h, c)
+    last_src = xf[:, :, :, -1, (r - 1) * c:]
+    y = y.at[:, :, :, 0, 0:c].add(0.25 * first_src)
+    y = y.at[:, :, :, -1, (2 * r - 1) * c:].add(0.25 * last_src)
     return y.astype(xp.dtype)
 
 
