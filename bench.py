@@ -37,7 +37,8 @@ def _prev_baseline() -> float:
             continue
         try:
             rec = json.load(open(path))
-            val = float(rec.get("value", 0.0))
+            # the driver wraps bench output under "parsed"
+            val = float(rec.get("value") or rec.get("parsed", {}).get("value", 0.0))
             if val > 0:
                 best = (int(m.group(1)), val)
         except Exception:
