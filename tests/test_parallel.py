@@ -170,3 +170,52 @@ def test_spatial_sharded_forward_matches_single_device():
     ps = replicate(mesh, params)
     got = jax.jit(net.apply)(ps, xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def tiny_derived_packed():
+    geno = parse_alphas(init_alphas(jax.random.PRNGKey(0), 2), 2)
+    return DerivedNet(genotype=geno, in_channels=4, num_classes=3, base_channels=4,
+                      depth=2, n_nodes=2, gn_groups=4, remat=False,
+                      dtype_name="float32", packed=True)
+
+
+def test_dp_train_step_matches_single_device_packed():
+    # the shipped default (lane-packed execution) must compose with GSPMD DP
+    net = tiny_derived_packed()
+    tx = make_optimizer(1e-3, 1e-4)
+    step = make_train_step(net.apply, tx, augment=None)
+    x, y = batch()
+
+    def init_state():
+        params = net.init(jax.random.PRNGKey(1), jnp.zeros_like(x))
+        return TrainState(params=params, opt_state=tx.init(params),
+                          step=jnp.asarray(0, jnp.int32), rng=jax.random.PRNGKey(2))
+
+    s_single, m_single = _run_train(init_state(), step, x, y)
+    mesh = make_mesh()
+    state = replicate(mesh, init_state())
+    xs, ys = shard_batch(mesh, (x, y))
+    s_dp, m_dp = _run_train(state, step, xs, ys)
+    np.testing.assert_allclose(float(m_single["loss"]), float(m_dp["loss"]),
+                               rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                    jax.tree_util.tree_leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)
+
+
+def test_spatial_sharded_forward_matches_single_device_packed():
+    # packed keeps D/H native, so the D-axis (CP-analog) sharding and its
+    # conv halo exchanges must still produce the unsharded result; the
+    # packed W axis rides inside each shard untouched
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    net = tiny_derived_packed()
+    x, _ = batch(b=2, p=16)
+    params = net.init(jax.random.PRNGKey(1), x)
+    want = net.apply(params, x)
+
+    mesh = make_mesh(spatial_parallel=2)
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "spatial", None, None, None)))
+    ps = replicate(mesh, params)
+    got = jax.jit(net.apply)(ps, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
