@@ -42,7 +42,6 @@ Reference: this replaces the cuDNN delegation of the reference's prim_ops
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax
@@ -132,35 +131,25 @@ def same_pad(in_size: int, kernel: int, stride: int, dilation: int) -> Tuple[int
 # ---------------------------------------------------------------------------
 
 
-def _scatter_conv_w(kernel_w: int, stride: int, dilation: int,
-                    lin: PackedLayout, lout: PackedLayout,
-                    w_in: int) -> Tuple[np.ndarray, np.ndarray, int, Tuple[int, int]]:
-    """Scatter plan for the W axis of a packed conv.
+def _w_tap_plan(kernel_w: int, stride: int, dilation: int,
+                lin: PackedLayout, lout: PackedLayout,
+                w_in: int) -> Tuple[int, int, int, Tuple[int, int]]:
+    """Packed-W geometry of a conv: every logical W-tap kw reaching output
+    slot δo reads input W offset t = stride·δo + dilation·kw − pad_lo, i.e.
+    packed-block offset o = ⌊t/r_in⌋, slot δi = t mod r_in.
 
-    Returns (dst_idx, src_kw, sp, (pad_lo_p, pad_hi_p)) where for every
-    (kw, δo) tap: dst_idx rows give (kwp, packed_cin_base_slot δi) and the
-    packed kernel position, i.e. arrays mapping logical taps to packed taps.
-
-    Concretely produces, for each logical W-tap kw and output slot δo:
-      t  = stride·δo + dilation·kw − pad_lo          (input W offset)
-      o  = ⌊t / r_in⌋   (packed-block offset)         δi = t mod r_in
-    and the packed kernel index kwp = o − o_min.
-    """
+    Returns (o_min, kp, sp, (pad_lo_p, pad_hi_p)): the minimum block
+    offset, the packed kernel width, the packed-W conv stride, and the
+    explicit packed-W padding."""
     r_in, r_out = lin.r, lout.r
     pad_lo, _ = same_pad(w_in, kernel_w, stride, dilation)
     sp_num = stride * r_out
     assert sp_num % r_in == 0, (stride, r_out, r_in)
     sp = sp_num // r_in
 
-    taps = []                                      # (kw, δo, o, δi)
-    for kw in range(kernel_w):
-        for do in range(r_out):
-            t = stride * do + dilation * kw - pad_lo
-            o = t // r_in                          # floor (python // on ints)
-            di = t - o * r_in
-            taps.append((kw, do, o, di))
-    o_min = min(t[2] for t in taps)
-    o_max = max(t[2] for t in taps)
+    offs = [(stride * do + dilation * kw - pad_lo) // r_in
+            for kw in range(kernel_w) for do in range(r_out)]
+    o_min, o_max = min(offs), max(offs)
 
     w_out = -(-w_in // stride)
     wp_in = w_in // r_in
@@ -168,8 +157,7 @@ def _scatter_conv_w(kernel_w: int, stride: int, dilation: int,
     pad_lo_p = -o_min
     pad_hi_p = max(0, sp * (wp_out - 1) + o_max - (wp_in - 1))
     kp = o_max - o_min + 1
-    return (np.asarray(taps, dtype=np.int64),
-            np.asarray([kp], dtype=np.int64), sp, (pad_lo_p, pad_hi_p))
+    return o_min, kp, sp, (pad_lo_p, pad_hi_p)
 
 
 def packed_conv(xp: Array, w: Array, lin: PackedLayout, lout: PackedLayout,
@@ -195,10 +183,8 @@ def packed_conv(xp: Array, w: Array, lin: PackedLayout, lout: PackedLayout,
     r_in, r_out = lin.r, lout.r
     assert w.shape == (kd, kh, kw_sz, cin, cout), (w.shape, kernel, cin, cout)
 
-    taps, kp_arr, sp, (plo, phi) = _scatter_conv_w(
+    o_min, kp, sp, (plo, phi) = _w_tap_plan(
         kw_sz, stride, dilation, lin, lout, w_in)
-    kp = int(kp_arr[0])
-    o_min = int(taps[:, 2].min())
 
     # Build the packed kernel as ONE dense einsum against a tiny trace-time
     # one-hot constant — NOT a scatter.  (Round-2 profile: .at[].set with
