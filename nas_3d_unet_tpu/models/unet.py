@@ -44,6 +44,10 @@ class _UNetBase(nn.Module):
     gn_groups: int = 8
     dtype_name: str = "float32"
     remat: bool = True
+    # supernet edge-level remat; None -> follow `remat`.  Packed 64-cubed
+    # searches fit HBM with remat fully off (6.9x faster); 128-cubed needs
+    # at least edge remat (measured OOM at 20.9G/15.75G without).
+    remat_edges: bool | None = None
     use_pallas: bool = False
     merge_ops: bool = True    # exact graph-level op merging (derived + supernet)
     packed: bool = False      # lane-packed execution (ops/packed.py)
@@ -117,11 +121,12 @@ class SuperNet(_UNetBase):
 
         Down = self._remat(SuperDownCell)
         Up = self._remat(SuperUpCell)
+        redges = self.remat if self.remat_edges is None else self.remat_edges
 
         feats = [stem]
         s_pp, s_p = stem, stem
         for level in range(1, self.depth + 1):
-            out = Down(remat_edges=self.remat, merge_ops=self.merge_ops,
+            out = Down(remat_edges=redges, merge_ops=self.merge_ops,
                        **self._cell_kwargs(level))(
                 s_pp, s_p, w["down_in"], w["down_mid"])
             s_pp, s_p = s_p, out
@@ -129,7 +134,7 @@ class SuperNet(_UNetBase):
 
         below = feats[-1]
         for level in range(self.depth - 1, -1, -1):
-            below = Up(remat_edges=self.remat, merge_ops=self.merge_ops,
+            below = Up(remat_edges=redges, merge_ops=self.merge_ops,
                        **self._cell_kwargs(level))(
                 feats[level], below, w["up_skip"], w["up_below"], w["up_mid"])
 
@@ -183,6 +188,7 @@ def make_supernet(model_cfg, num_classes: int) -> SuperNet:
         gn_groups=model_cfg.gn_groups,
         dtype_name=model_cfg.dtype,
         remat=model_cfg.remat,
+        remat_edges=getattr(model_cfg, "remat_edges", None),
         use_pallas=model_cfg.use_pallas,
         merge_ops=getattr(model_cfg, "merge_ops", True),
         packed=getattr(model_cfg, "packed", False),

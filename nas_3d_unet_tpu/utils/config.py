@@ -65,6 +65,10 @@ class ModelConfig:
     norm: str = "group"                       # "group" | "instance" | "none"
     gn_groups: int = 8
     remat: bool = True                        # jax.checkpoint per cell
+    # supernet edge-level remat; None follows `remat`.  Packed 64-cubed
+    # searches fit HBM with remat off entirely (model.remat=false, 6.9x
+    # faster); 128-cubed needs edge remat.
+    remat_edges: bool | None = None
     # compute dtype for activations; params/accum stay fp32
     dtype: str = "bfloat16"
     use_pallas: bool = False                  # Pallas kernels vs lax reference path
