@@ -364,7 +364,11 @@ def packed_group_norm(xp: Array, scale: Array, bias: Array, groups: int,
     inv = jax.lax.rsqrt(var + eps)                  # (B, G)
 
     # per-packed-channel affine: packed position p holds logical channel
-    # c(p) in group g(p)
+    # c(p) in group g(p).  Precombine into y = x·a + b with a = inv·scale
+    # and b = bias − mean·inv·scale (tiny f32 vectors), then run the
+    # normalize pass as ONE fused multiply-add in the input dtype — no f32
+    # full-volume intermediate to materialize or relayout (those copies
+    # were ~15% of the round-2 packed step).
     pos_to_c = np.empty((r * c,), dtype=np.int64)
     for d in range(r):
         for ch in range(c):
@@ -376,8 +380,9 @@ def packed_group_norm(xp: Array, scale: Array, bias: Array, groups: int,
     inv_p = inv[:, pos_group]
 
     shp = (xp.shape[0], 1, 1, 1, r * c)
-    y = (xf - mean_p.reshape(shp)) * (inv_p.reshape(shp) * scale_p) + bias_p
-    y = y.astype(xp.dtype)
+    a = (inv_p * scale_p).reshape(shp)              # (B,1,1,1,rC) f32
+    b = (bias_p - mean_p * inv_p * scale_p).reshape(shp)
+    y = xp * a.astype(xp.dtype) + b.astype(xp.dtype)
     if relu:
         y = jax.nn.relu(y)
     return y

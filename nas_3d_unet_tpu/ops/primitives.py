@@ -230,6 +230,7 @@ class ConvNormAct(nn.Module):
         # checkpoint pytree is identical whichever path a config picks
         packed = isinstance(x, PX)
         if packed:
+            assert self.groups == 1, "grouped ConvNormAct has no packed path"
             x = PackedConvK(self.features, self.kernel, self.stride,
                             self.dilation, self.dtype, name="conv")(x)
         elif self.use_pallas and self.kernel == 3 and self.groups == 1:
