@@ -129,3 +129,28 @@ def test_supernet_remat_matches_noremat():
     ya = net_a.apply(params, x, w)
     yb = net_b.apply(params, x, w)
     np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-6)
+
+
+def test_remat_edges_knob_config_to_supernet():
+    # model.remat_edges decouples supernet edge remat from cell remat
+    # (config -> make_supernet -> apply); param tree must not depend on it
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nas_3d_unet_tpu.models.genotype import init_alphas
+    from nas_3d_unet_tpu.models.unet import arch_weights_from_alphas, make_supernet
+    from nas_3d_unet_tpu.utils import load_config
+
+    ov = {"model.base_channels": 4, "model.depth": 2, "model.n_nodes": 2,
+          "model.gn_groups": 4, "model.dtype": "float32", "model.remat": True}
+    aw = arch_weights_from_alphas(init_alphas(jax.random.PRNGKey(0), 2))
+    x = jnp.zeros((1, 16, 16, 16, 4))
+    outs, trees = [], []
+    for redges in (None, False):
+        cfg = load_config(None, overrides={**ov, "model.remat_edges": redges})
+        net = make_supernet(cfg.model, 3)
+        p = net.init(jax.random.PRNGKey(1), x, aw)
+        trees.append(jax.tree_util.tree_structure(p))
+        outs.append(np.asarray(net.apply(p, x, aw)))
+    assert trees[0] == trees[1]
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
