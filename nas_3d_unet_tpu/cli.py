@@ -21,6 +21,15 @@ from typing import List, Optional
 
 import jax
 
+# Persistent compile cache by default: cold remote (axon) compiles of the
+# jitted steps take minutes; cached reruns take seconds.  Overridable via
+# JAX_CACHE_DIR; disable with JAX_CACHE_DIR="".
+_cache_dir = os.environ.get("JAX_CACHE_DIR",
+                            os.path.expanduser("~/.cache/jax_tpu"))
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def _parse_overrides(pairs: List[str]) -> dict:
     out = {}
