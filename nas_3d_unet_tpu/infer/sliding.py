@@ -55,7 +55,7 @@ def grid_coords(shape: Sequence[int], patch: Sequence[int], stride: Sequence[int
 
 @partial(jax.jit,
          static_argnames=("forward_fn", "patch", "batch_size", "num_classes",
-                          "batch_sharding"))
+                          "batch_sharding", "volume_sharding"))
 def _stitch(
     volume: Array,            # (D, H, W, C) fp32, already padded to >= patch
     coords: Array,            # (Nb, B, 3) int32, batched patch starts
@@ -65,11 +65,22 @@ def _stitch(
     batch_size: int,
     num_classes: int,
     batch_sharding=None,      # NamedSharding: shard the patch batch (DP infer)
+    volume_sharding=None,     # NamedSharding over D: spatial (CP-analog) infer
 ) -> Tuple[Array, Array]:
     """Scan over coord batches; accumulate prob sums and counts on device."""
     d, h, w, _ = volume.shape
     sum_buf = jnp.zeros((d, h, w, num_classes), dtype=jnp.float32)
     cnt_buf = jnp.zeros((d, h, w, 1), dtype=jnp.float32)
+    if volume_sharding is not None:
+        # Spatial sharding (SURVEY.md §5 long-context row, inference side):
+        # the whole-volume accumulation buffers — the largest tensors of the
+        # stitch, bigger than any activation for large volumes — live sharded
+        # over the mesh's spatial axis.  GSPMD turns every dynamic-slice
+        # patch gather and read-modify-write update into the necessary
+        # halo collectives; per-voxel arithmetic (and thus the bit-exact
+        # fp32 contract) is unchanged.
+        sum_buf = jax.lax.with_sharding_constraint(sum_buf, volume_sharding)
+        cnt_buf = jax.lax.with_sharding_constraint(cnt_buf, volume_sharding)
 
     def gather_patch(c):
         return jax.lax.dynamic_slice(
@@ -113,6 +124,7 @@ def sliding_window_probs(
     batch_size: int = 4,
     num_classes: int = 3,
     batch_sharding=None,
+    volume_sharding=None,
 ) -> np.ndarray:
     """Whole-volume averaged probabilities, (D, H, W, K) fp32.
 
@@ -142,10 +154,13 @@ def sliding_window_probs(
     coords = coords.reshape(n_batches, batch_size, 3)
     weights = weights.reshape(n_batches, batch_size)
 
+    vol_dev = (jax.device_put(volume, volume_sharding)
+               if volume_sharding is not None else jnp.asarray(volume))
     sums, cnts = _stitch(
-        jnp.asarray(volume), jnp.asarray(coords), jnp.asarray(weights),
+        vol_dev, jnp.asarray(coords), jnp.asarray(weights),
         forward_fn=forward_fn, patch=patch, batch_size=batch_size,
-        num_classes=num_classes, batch_sharding=batch_sharding)
+        num_classes=num_classes, batch_sharding=batch_sharding,
+        volume_sharding=volume_sharding)
     probs = np.asarray(sums) / np.asarray(cnts)           # single divide
     return probs[: orig_shape[0], : orig_shape[1], : orig_shape[2]]
 
@@ -154,16 +169,21 @@ class SlidingWindowPredictor:
     """Convenience wrapper binding a model apply-fn + params."""
 
     def __init__(self, apply_fn, params, patch_size, overlap=0.5, batch_size=4,
-                 num_classes=3, batch_sharding=None, label_mode="regions"):
+                 num_classes=3, batch_sharding=None, volume_sharding=None,
+                 label_mode="regions"):
         """`batch_sharding`: optional NamedSharding over the patch-batch axis
         for GSPMD data-parallel inference (batch_size must be a multiple of
-        the data-axis size).  `label_mode`: "regions" → sigmoid region
-        probabilities (K=3); "classes" → softmax class probabilities (K=4)."""
+        the data-axis size).  `volume_sharding`: optional NamedSharding over
+        the volume D axis — spatial (CP-analog) inference for whole-volume
+        buffers that exceed one chip's HBM.  `label_mode`: "regions" →
+        sigmoid region probabilities (K=3); "classes" → softmax class
+        probabilities (K=4)."""
         self.patch_size = tuple(patch_size)
         self.overlap = overlap
         self.batch_size = batch_size
         self.num_classes = num_classes
         self.batch_sharding = batch_sharding
+        self.volume_sharding = volume_sharding
         self.label_mode = label_mode
         self._params = params
         self._apply = apply_fn
@@ -177,4 +197,5 @@ class SlidingWindowPredictor:
     def predict_volume(self, volume: np.ndarray) -> np.ndarray:
         return sliding_window_probs(
             self.forward_probs, volume, self.patch_size, self.overlap,
-            self.batch_size, self.num_classes, self.batch_sharding)
+            self.batch_size, self.num_classes, self.batch_sharding,
+            self.volume_sharding)
