@@ -117,11 +117,13 @@ def cmd_train(args) -> int:
 def cmd_predict(args) -> int:
     cfg = _load_cfg(args)
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from .infer.predict import predict_dataset
     from .infer.sliding import SlidingWindowPredictor
     from .models.genotype import Genotype, default_genotype
     from .models.unet import make_derived
+    from .parallel.mesh import DATA_AXIS, SPATIAL_AXIS, make_mesh, maybe_initialize_distributed
     from .train.checkpoint import latest_checkpoint, load_checkpoint
     from .train.loop import TrainState, make_optimizer
 
@@ -147,9 +149,29 @@ def cmd_predict(args) -> int:
                           step=jnp.asarray(0, jnp.int32), rng=jax.random.PRNGKey(0))
     state = load_checkpoint(path, template)
 
+    # Sharded inference (BASELINE.json configs[4]): patch batches shard over
+    # the data axis; with parallel.spatial_parallel > 1 the whole-volume
+    # stitch buffers — the largest tensors of the stage — shard over the
+    # spatial axis (infer/sliding.py keeps both paths bit-identical).
+    maybe_initialize_distributed()
+    mesh = make_mesh(cfg.parallel.data_parallel, cfg.parallel.spatial_parallel)
+    bs, vs = None, None
+    if mesh.devices.size > 1:
+        n_data = mesh.shape[DATA_AXIS]
+        if cfg.infer.batch_size % n_data == 0:
+            bs = NamedSharding(mesh, P(DATA_AXIS, None, None, None, None))
+        else:
+            print(json.dumps({"event": "warn",
+                              "msg": f"infer.batch_size {cfg.infer.batch_size} "
+                                     f"not divisible by data axis {n_data}; "
+                                     "running patch batches unsharded"}))
+        if cfg.parallel.spatial_parallel > 1:
+            vs = NamedSharding(mesh, P(SPATIAL_AXIS, None, None, None))
+
     predictor = SlidingWindowPredictor(
         net.apply, state.params, cfg.infer.patch_size, cfg.infer.overlap,
         cfg.infer.batch_size, cfg.data.num_classes,
+        batch_sharding=bs, volume_sharding=vs,
         label_mode=cfg.data.label_mode)
     results = predict_dataset(predictor, cfg.data.processed_dir,
                               cfg.infer.output_dir, cfg.infer.threshold)

@@ -225,7 +225,11 @@ class Prefetcher:
 
     def _put(self, arr: np.ndarray) -> Array:
         if self._sharding is not None:
-            return jax.device_put(arr, self._sharding)
+            # class-mode labels are rank-4; trim the batch spec to each
+            # array's rank (parallel/mesh.py)
+            from ..parallel.mesh import sharding_for_rank
+
+            return jax.device_put(arr, sharding_for_rank(self._sharding, arr.ndim))
         if self._device is not None:
             return jax.device_put(arr, self._device)
         return jax.device_put(arr)

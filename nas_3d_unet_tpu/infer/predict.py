@@ -11,9 +11,12 @@ from __future__ import annotations
 import glob
 import json
 import os
+import queue
+import threading
 import time
-from typing import Dict, List, Optional
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,11 +38,49 @@ def uncrop_labels(labels: np.ndarray, crop_start: np.ndarray,
     return out
 
 
+def _iter_patients_prefetched(paths: Sequence[str],
+                              depth: int = 1) -> Iterator[Tuple[str, Dict]]:
+    """Yield (path, record) with the NEXT patient's HDF5 read and host→device
+    transfer running in a background thread while the current one computes.
+
+    `jax.device_put` is asynchronous — calling it from the loader thread
+    starts the DMA immediately, so by the time the consumer touches
+    `image_dev` the transfer is done or in flight.  Per-patient wall time
+    becomes max(transfer, compute) instead of their sum (the reference
+    transfers strictly sequentially per batch, SURVEY.md §3.4)."""
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    _END = object()
+    err: List[BaseException] = []
+
+    def loader():
+        try:
+            for path in paths:
+                rec = load_patient_h5(path)
+                rec["image_dev"] = jax.device_put(
+                    np.ascontiguousarray(rec["image"], dtype=np.float32))
+                q.put((path, rec))
+        except BaseException as e:  # propagate instead of hanging the consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=loader, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise RuntimeError("patient prefetch failed") from err[0]
+            return
+        yield item
+
+
 def predict_patient(
     predictor: SlidingWindowPredictor,
     h5_path: str,
     out_dir: Optional[str] = None,
     threshold: float = 0.5,
+    rec: Optional[Dict] = None,
 ) -> Dict:
     """One patient end-to-end; returns metrics + timing.
 
@@ -48,9 +89,10 @@ def predict_patient(
     and remapped (index 3 → BraTS label 4).  Dice is reported per region
     either way.
     """
-    rec = load_patient_h5(h5_path)
+    if rec is None:
+        rec = load_patient_h5(h5_path)
     t0 = time.perf_counter()
-    probs = predictor.predict_volume(rec["image"])
+    probs = predictor.predict_volume(rec.get("image_dev", rec["image"]))
     if getattr(predictor, "label_mode", "regions") == "classes":
         labels = np.asarray(class_indices_to_labels(jnp.argmax(jnp.asarray(probs), axis=-1)))
     else:
@@ -78,10 +120,14 @@ def predict_dataset(
     out_dir: Optional[str] = None,
     threshold: float = 0.5,
 ) -> List[Dict]:
-    """All patients under processed_dir; prints one JSON line per patient."""
+    """All patients under processed_dir; prints one JSON line per patient.
+
+    Patients are double-buffered: the next HDF5 read + host→device transfer
+    overlaps the current patient's sliding-window compute."""
     results = []
-    for path in sorted(glob.glob(os.path.join(processed_dir, "*.h5"))):
-        res = predict_patient(predictor, path, out_dir, threshold)
+    paths = sorted(glob.glob(os.path.join(processed_dir, "*.h5")))
+    for path, rec in _iter_patients_prefetched(paths):
+        res = predict_patient(predictor, path, out_dir, threshold, rec=rec)
         print(json.dumps(res))
         results.append(res)
     return results

@@ -130,9 +130,17 @@ def sliding_window_probs(
 
     `forward_fn` maps a patch batch (B, p, p, p, C) to *probabilities*
     (B, p, p, p, K); it is traced inside the jitted stitcher.
-    `volume` is the preprocessed (D, H, W, C) image.
+    `volume` is the preprocessed (D, H, W, C) image — a numpy array, or a
+    jax Array already staged on device (the patient-prefetch path in
+    infer/predict.py overlaps that transfer with the previous patient's
+    compute); zero-padding on either path is exact, so the bit-for-bit
+    contract is unaffected.
     """
-    volume = np.asarray(volume, dtype=np.float32)
+    on_device = isinstance(volume, jax.Array)
+    if on_device:
+        volume = volume.astype(jnp.float32)
+    else:
+        volume = np.asarray(volume, dtype=np.float32)
     orig_shape = volume.shape[:3]
     patch = tuple(int(p) for p in patch_size)
     stride = tuple(max(1, int(round(p * (1.0 - overlap)))) for p in patch)
@@ -140,7 +148,8 @@ def sliding_window_probs(
     # pad (end-only) so every dim fits at least one patch
     pad = [max(0, p - s) for p, s in zip(patch, orig_shape)]
     if any(pad):
-        volume = np.pad(volume, [(0, pad[0]), (0, pad[1]), (0, pad[2]), (0, 0)])
+        pads = [(0, pad[0]), (0, pad[1]), (0, pad[2]), (0, 0)]
+        volume = jnp.pad(volume, pads) if on_device else np.pad(volume, pads)
     shape = volume.shape[:3]
 
     coords = grid_coords(shape, patch, stride)            # (N, 3)

@@ -466,10 +466,13 @@ def packed_avg_pool3(xp: Array, layout: PackedLayout, *, w_in: int,
     summed = jax.lax.reduce_window(
         ws, 0.0, jax.lax.add, (1, 3, 3, 1, 1), (1, stride, stride, 1, 1),
         [(0, 0), pd, ph, (0, 0), (0, 0)])
-    # W stride-2: SAME with even W anchors windows at [2o, 2o+2] (pad_lo=0),
-    # i.e. the centered stride-1 sums at ODD positions
+    # W stride-2: window o covers [2o − pad_lo, 2o − pad_lo + 2], i.e. the
+    # centered stride-1 sum at position 2o + 1 − pad_lo.  Even W → pad_lo 0
+    # → odd positions; odd W (reachable when r degenerates to 1) → pad_lo 1
+    # → even positions.
     if stride == 2:
-        summed = _w_downsample2(summed, layout, offset=1)
+        pw_lo, _ = same_pad(w_in, 3, 2, 1)
+        summed = _w_downsample2(summed, layout, offset=1 - pw_lo)
 
     # divisor: outer product of per-axis true-window counts
     def axis_counts(n, stride):
@@ -486,7 +489,9 @@ def packed_avg_pool3(xp: Array, layout: PackedLayout, *, w_in: int,
     chh = axis_counts(h_in, stride)
     cw = axis_counts(w_in, stride)
     out_w = cw.shape[0]
-    r_out = layout.r if stride == 1 else layout.r // 2
+    # r == 1 stride 2 degenerates to keeping every other BLOCK
+    # (_w_downsample2), so the output packing factor stays 1.
+    r_out = layout.r if stride == 1 else max(1, layout.r // 2)
     # packed W counts: (Wp_out, r_out·c) gathered from per-voxel counts
     idx_out = (standard_layout(r_out, layout.c).index()
                if stride == 2 else layout.index())
@@ -548,7 +553,10 @@ def packed_max_pool3(xp: Array, layout: PackedLayout, *, stride: int = 1) -> Arr
         acc, -jnp.inf, jax.lax.max, (1, 3, 3, 1, 1), (1, stride, stride, 1, 1),
         [(0, 0), pd, ph, (0, 0), (0, 0)])
     if stride == 2:
-        y = _w_downsample2(y, layout, offset=1)
+        # anchor parity follows SAME pad_lo — see packed_avg_pool3
+        w_in = xp.shape[3] * layout.r
+        pw_lo, _ = same_pad(w_in, 3, 2, 1)
+        y = _w_downsample2(y, layout, offset=1 - pw_lo)
     return y.astype(xp.dtype)
 
 
@@ -571,7 +579,7 @@ def packed_depthwise3(xp: Array, w: Array, layout: PackedLayout, *,
     # express as dense (diagonal) logical kernel and reuse packed_conv
     eye = np.eye(c, dtype=np.float32)
     wdense = jnp.einsum("dhwc,ce->dhwce", wd, jnp.asarray(eye, wd.dtype))
-    r_out = layout.r if stride == 1 else layout.r // 2
+    r_out = layout.r if stride == 1 else max(1, layout.r // 2)
     lout = standard_layout(r_out, c)
     return packed_conv(xp, wdense, layout, lout, w_in=w_in, kernel=(3, 3, 3),
                        stride=stride, dilation=1, precision=precision)

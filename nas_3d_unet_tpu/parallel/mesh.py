@@ -32,11 +32,29 @@ def maybe_initialize_distributed() -> None:
     """Multi-host init, driven by standard env vars; no-op single-process.
 
     (The reference has no distributed backend at all — SURVEY.md §2b.)
+
+    Ordering is load-bearing: `jax.distributed.initialize()` must run BEFORE
+    anything touches a backend — even `jax.process_count()`/`jax.devices()`
+    initializes (and locks) the local backend, after which multi-host init
+    cannot take effect.  So: check the env var first, then the
+    backend-initialization state, and only then init (mirrors
+    `__graft_entry__._provision_virtual_devices`).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return                      # single-process launch: nothing to do
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
+        return                      # already initialized (idempotent)
+    from jax._src import xla_bridge
+
+    if xla_bridge.backends_are_initialized():
+        raise RuntimeError(
+            "JAX_COORDINATOR_ADDRESS is set but a JAX backend was already "
+            "initialized in this process; jax.distributed.initialize() must "
+            "run before any jax.devices()/process_count() call. Call "
+            "maybe_initialize_distributed() first thing in the entry point.")
+    jax.distributed.initialize()
 
 
 def make_mesh(data_parallel: int = -1, spatial_parallel: int = 1,
@@ -63,6 +81,25 @@ def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
     """Sharding for (B, D, H, W, C) batches: B over data, optionally D over spatial."""
     spec = P(DATA_AXIS, SPATIAL_AXIS if spatial else None, None, None, None)
     return NamedSharding(mesh, spec)
+
+
+def sharding_for_rank(sharding, ndim: int):
+    """Trim a batch sharding's PartitionSpec to an array's rank.
+
+    label_mode="classes" labels are rank-4 (B, D, H, W) int arrays while
+    images are rank-5; applying the rank-5 spec to them raises.  A spec
+    SHORTER than the rank is valid (trailing dims replicate), so trimming
+    covers every batch leaf.  Non-NamedSharding placements pass through."""
+    if not isinstance(sharding, NamedSharding) or len(sharding.spec) <= ndim:
+        return sharding
+    return NamedSharding(sharding.mesh, P(*sharding.spec[:ndim]))
+
+
+def put_batch(tree: Any, sharding) -> Any:
+    """device_put every leaf with the sharding trimmed to its rank."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sharding_for_rank(sharding, np.ndim(a))),
+        tree)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

@@ -57,8 +57,14 @@ class SearchState:
 
 def make_search_step(apply_fn: Callable, w_tx: optax.GradientTransformation,
                      a_tx: optax.GradientTransformation,
-                     augment: Optional[dict] = None, label_mode: str = "regions"):
-    """(state, x_tr, y_tr, x_val, y_val) → (state, metrics), fully jitted."""
+                     augment: Optional[dict] = None, label_mode: str = "regions",
+                     augment_val: bool = False):
+    """(state, x_tr, y_tr, x_val, y_val) → (state, metrics), fully jitted.
+
+    `augment_val`: also augment the α-step (val) batch.  The reference runs
+    no val-side augmentation (SURVEY.md §3.2), so the default keeps α grads
+    on clean batches; flipping it is a logged config choice, not implicit.
+    """
     loss = get_loss_fn(label_mode)
 
     def loss_fn(params, alphas, x, y):
@@ -71,7 +77,8 @@ def make_search_step(apply_fn: Callable, w_tx: optax.GradientTransformation,
         rng, k1, k2 = jax.random.split(state.rng, 3)
         if augment is not None:
             x_tr, y_tr = augment_batch(k1, x_tr, y_tr, **augment)
-            x_val, y_val = augment_batch(k2, x_val, y_val, **augment)
+            if augment_val:
+                x_val, y_val = augment_batch(k2, x_val, y_val, **augment)
 
         # (1) architecture step on the val batch
         val_loss, a_grads = jax.value_and_grad(loss_fn, argnums=1)(
@@ -95,7 +102,8 @@ def make_search_step(apply_fn: Callable, w_tx: optax.GradientTransformation,
 def make_search_step_unrolled(apply_fn: Callable, w_tx: optax.GradientTransformation,
                               a_tx: optax.GradientTransformation, xi: float,
                               augment: Optional[dict] = None,
-                              label_mode: str = "regions"):
+                              label_mode: str = "regions",
+                              augment_val: bool = False):
     """Second-order DARTS step (the reference runs first-order; this is the
     paper's unrolled objective, exact rather than finite-difference):
 
@@ -118,7 +126,8 @@ def make_search_step_unrolled(apply_fn: Callable, w_tx: optax.GradientTransforma
         rng, k1, k2 = jax.random.split(state.rng, 3)
         if augment is not None:
             x_tr, y_tr = augment_batch(k1, x_tr, y_tr, **augment)
-            x_val, y_val = augment_batch(k2, x_val, y_val, **augment)
+            if augment_val:
+                x_val, y_val = augment_batch(k2, x_val, y_val, **augment)
 
         def val_after_virtual_step(alphas):
             g_w = jax.grad(loss_fn, argnums=0)(state.params, alphas, x_tr, y_tr)
@@ -191,13 +200,16 @@ class Searcher:
         self.a_tx = optax.adamw(sc.alpha_lr, weight_decay=sc.alpha_weight_decay)
         aug = (dict(flip_prob=dc.flip_prob, intensity_shift=dc.intensity_shift,
                     intensity_scale=dc.intensity_scale) if device_augment else None)
+        self.augment_val = bool(getattr(sc, "augment_val", False))
         if getattr(sc, "unrolled", False):
             xi = sc.xi if getattr(sc, "xi", 0.0) > 0 else sc.w_lr
             self.search_step = make_search_step_unrolled(
-                supernet.apply, self.w_tx, self.a_tx, xi, aug, dc.label_mode)
+                supernet.apply, self.w_tx, self.a_tx, xi, aug, dc.label_mode,
+                self.augment_val)
         else:
             self.search_step = make_search_step(supernet.apply, self.w_tx,
-                                                self.a_tx, aug, dc.label_mode)
+                                                self.a_tx, aug, dc.label_mode,
+                                                self.augment_val)
         self.warmup_step = make_warmup_step(supernet.apply, self.w_tx, aug,
                                             dc.label_mode)
 
@@ -250,6 +262,11 @@ class Searcher:
                              seed=sc.seed + 101 + start_epoch, augment=False)
         g_a = PatchGenerator(self.a_cache, self.patch, self.batch,
                              seed=sc.seed + 202 + start_epoch, augment=False)
+        # dedicated eval generator: g_a is being drained by the pf_a thread,
+        # and numpy Generators are not thread-safe — sharing it would race
+        # and break seeded reproducibility
+        g_eval = PatchGenerator(self.a_cache, self.patch, self.batch,
+                                seed=sc.seed + 303 + start_epoch, augment=False)
         pf_w = Prefetcher(g_w, depth=2, sharding=self.sharding)
         pf_a = Prefetcher(g_a, depth=2, sharding=self.sharding)
         genotype = None
@@ -276,11 +293,12 @@ class Searcher:
                 genotype = parse_alphas(jax.device_get(state.alphas),
                                         self.cfg.model.n_nodes)
                 rec = dict(event="epoch", epoch=epoch, warmup=warm,
+                           augment_val=self.augment_val,
                            train_loss=float(np.mean([float(v) for v in tr_losses])),
                            val_loss=float(np.mean([float(v) for v in va_losses])),
                            patches_per_sec=pps, **alpha_summary(state.alphas))
                 if not warm:
-                    val = self.evaluate(state, g_a, self.cfg.search.val_steps)
+                    val = self.evaluate(state, g_eval, self.cfg.search.val_steps)
                     rec.update(eval_loss=val["loss"], dice_wt=val["dice_wt"],
                                dice_tc=val["dice_tc"], dice_et=val["dice_et"])
                 self.logger.log(**rec)
@@ -288,7 +306,10 @@ class Searcher:
                 if (epoch + 1) % sc.checkpoint_every == 0 or epoch == epochs - 1:
                     save_checkpoint(sc.checkpoint_dir, int(state.step), state,
                                     metadata={"epoch": epoch, "config": self.cfg.to_dict()})
-                    genotype.save(os.path.join(sc.checkpoint_dir, "genotype.json"))
+                    # process-0 only: multi-host runs share the filesystem and
+                    # would race on the file (save_checkpoint guards likewise)
+                    if jax.process_index() == 0:
+                        genotype.save(os.path.join(sc.checkpoint_dir, "genotype.json"))
         finally:
             pf_w.close()
             pf_a.close()
@@ -303,8 +324,11 @@ class Searcher:
             x, y = gen.next()
             if self.sharding is not None:
                 # eval batches carry the training mesh sharding (device-0-only
-                # eval under a DP mesh is silent and wrong)
-                x, y = jax.device_put((np.asarray(x), np.asarray(y)), self.sharding)
+                # eval under a DP mesh is silent and wrong); per-leaf
+                # rank-trimmed (class-mode labels are rank-4)
+                from ..parallel.mesh import put_batch
+
+                x, y = put_batch((np.asarray(x), np.asarray(y)), self.sharding)
             m = self.eval_step((state.params, aw), jnp.asarray(x), jnp.asarray(y))
             for k, v in m.items():
                 accum.setdefault(k, []).append(float(v))

@@ -260,8 +260,11 @@ class Trainer:
             x, y = gval.next()
             if self.sharding is not None:
                 # eval batches must carry the same mesh sharding as training
-                # or they silently run on device 0 only under a DP mesh
-                x, y = jax.device_put((np.asarray(x), np.asarray(y)), self.sharding)
+                # or they silently run on device 0 only under a DP mesh;
+                # per-leaf rank-trimmed (class-mode labels are rank-4)
+                from ..parallel.mesh import put_batch
+
+                x, y = put_batch((np.asarray(x), np.asarray(y)), self.sharding)
             m = self.eval_step(params, jnp.asarray(x), jnp.asarray(y))
             for k, v in m.items():
                 accum.setdefault(k, []).append(float(v))

@@ -90,6 +90,10 @@ class SearchConfig:
     alpha_weight_decay: float = 1e-3
     unrolled: bool = False                    # second-order DARTS (ref: first-order)
     xi: float = 0.0                           # virtual-step lr; 0 -> use w_lr
+    # augment the α-step (val) batch too?  The reference applies no val-side
+    # augmentation (SURVEY.md §3.2), so default off; on = lower-variance α
+    # grads are NOT guaranteed — measure before enabling.
+    augment_val: bool = False
     warmup_epochs: int = 5                    # epochs of w-only updates before alpha
     val_steps: int = 8                        # α-split eval batches per epoch
     checkpoint_dir: str = "ckpt/search"

@@ -87,3 +87,35 @@ def test_cli_override_types(tmp_path):
     # tuple / float / string overrides parse via literal_eval
     assert main(["preprocess", "-c", cfg,
                  "-o", "data.patch_size=(8,8,8)", "-o", "data.val_fraction=0.3"]) == 0
+
+
+def test_cli_predict_sharded_bitexact(tmp_path, capsys):
+    # cmd_predict builds the mesh from parallel.*: DP patch batches + the
+    # spatial (CP-analog) volume sharding must produce bit-identical NIfTI
+    # outputs to the unsharded run (round-3 VERDICT #5)
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs fake multi-device mesh")
+    from nas_3d_unet_tpu.io.nifti import read_nifti
+
+    _write_raw(tmp_path)
+    cfg = _config(tmp_path)
+    assert main(["preprocess", "-c", cfg]) == 0
+    assert main(["train", "-c", cfg]) == 0  # default genotype fallback
+
+    out_a = str(tmp_path / "pred_unsharded")
+    assert main(["predict", "-c", cfg, "-o", f"infer.output_dir={out_a}"]) == 0
+
+    out_b = str(tmp_path / "pred_sharded")
+    assert main(["predict", "-c", cfg, "-o", f"infer.output_dir={out_b}",
+                 "-o", "parallel.data_parallel=2",
+                 "-o", "parallel.spatial_parallel=2"]) == 0
+
+    names = sorted(os.listdir(out_a))
+    assert names == sorted(os.listdir(out_b)) and names
+    for n in names:
+        a = read_nifti(os.path.join(out_a, n)).data
+        b = read_nifti(os.path.join(out_b, n)).data
+        np.testing.assert_array_equal(a, b)

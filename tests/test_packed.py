@@ -247,3 +247,87 @@ def test_packed_conv_grad_flows_to_logical_weights():
     gr = jax.grad(loss_ref)(w)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# r == 1 degeneracy (round-3 ADVICE fix): stride-2 ops must clamp r_out to 1
+# and fall back to block-level W subsampling.  Reachable whenever a level's
+# packing factor bottoms out (e.g. depth 4, or patch W not divisible by 8 —
+# odd W then also appears at inner levels).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("W", [16, 15])
+@pytest.mark.parametrize("stride,dilation", [(1, 1), (2, 1), (2, 2)])
+def test_packed_conv3_r1(stride, dilation, W):
+    rng = np.random.default_rng(21)
+    cin, cout = 3, 5
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, W, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)).astype(np.float32))
+    want = _conv_ref(x, w, stride, dilation)
+    lin = standard_layout(1, cin)
+    lout = standard_layout(1, cout)
+    got = packed_conv(pack(x, 1), w, lin, lout, w_in=W, kernel=(3, 3, 3),
+                      stride=stride, dilation=dilation)
+    np.testing.assert_allclose(np.asarray(unpack(got, 1)), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("W", [16, 15])
+@pytest.mark.parametrize("stride", [1, 2])
+def test_packed_avg_pool_r1(stride, W):
+    from flax import linen as nn
+
+    rng = np.random.default_rng(22)
+    c = 3
+    x = jnp.asarray(rng.standard_normal((1, 5, 6, W, c)).astype(np.float32))
+    want = nn.avg_pool(x, (3, 3, 3), strides=(stride,) * 3, padding="SAME",
+                       count_include_pad=False)
+    got = packed_avg_pool3(pack(x, 1), standard_layout(1, c), w_in=W,
+                           stride=stride)
+    np.testing.assert_allclose(np.asarray(unpack(got, 1)),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("W", [16, 15])
+@pytest.mark.parametrize("stride", [1, 2])
+def test_packed_max_pool_r1(stride, W):
+    from flax import linen as nn
+
+    rng = np.random.default_rng(23)
+    c = 3
+    x = jnp.asarray(rng.standard_normal((1, 4, 5, W, c)).astype(np.float32))
+    want = nn.max_pool(x, (3, 3, 3), strides=(stride,) * 3, padding="SAME")
+    got = packed_max_pool3(pack(x, 1), standard_layout(1, c), stride=stride)
+    np.testing.assert_allclose(np.asarray(unpack(got, 1)),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_packed_depthwise_r1(stride):
+    rng = np.random.default_rng(24)
+    c, W = 4, 16
+    x = jnp.asarray(rng.standard_normal((1, 5, 5, W, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 1, c)).astype(np.float32))
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    want = jax.lax.conv_general_dilated(x, w, (stride,) * 3, "SAME",
+                                        dimension_numbers=dn,
+                                        feature_group_count=c)
+    got = packed_depthwise3(pack(x, 1), w, standard_layout(1, c), w_in=W,
+                            stride=stride)
+    np.testing.assert_allclose(np.asarray(unpack(got, 1)),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_r2_to_r1_stride2():
+    # the level transition where r bottoms out: r_in=2 -> r_out=1
+    rng = np.random.default_rng(25)
+    cin, cout, W = 3, 4, 8
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, W, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)).astype(np.float32))
+    want = _conv_ref(x, w, 2, 1)
+    got = packed_conv(pack(x, 2), w, standard_layout(2, cin),
+                      standard_layout(1, cout), w_in=W, stride=2)
+    np.testing.assert_allclose(np.asarray(unpack(got, 1)), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -147,3 +147,32 @@ def test_supernet_packed_param_tree_identical():
     p_ref = SuperNet(packed=False, **kw).init(jax.random.PRNGKey(1), x, aw)
     p_pkd = SuperNet(packed=True, **kw).init(jax.random.PRNGKey(1), x, aw)
     assert _tree_paths(p_ref) == _tree_paths(p_pkd)
+
+
+def test_derived_packed_depth4_r_bottoms_out():
+    # depth 4 at 32-cubed: the deepest levels reach packing factor r=1, so
+    # stride-2 packed ops must take the degenerate (block-subsample) branch
+    # instead of dividing r to 0 (round-3 ADVICE crash repro)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 4)).astype(np.float32))
+    net_ref = _derived(False, depth=4, genotype=default_genotype(2))
+    net_pkd = _derived(True, depth=4, genotype=default_genotype(2))
+    params = net_pkd.init(jax.random.PRNGKey(2), x)     # used to crash here
+    want = net_ref.apply(params, x)
+    got = net_pkd.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_derived_packed_odd_w_patch():
+    # patch W=20: level-2 W=5 is odd with r=1 — exercises the pad-parity
+    # branch of the stride-2 pools and convs
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((1, 20, 20, 20, 4)).astype(np.float32))
+    net_ref = _derived(False)
+    net_pkd = _derived(True)
+    params = net_pkd.init(jax.random.PRNGKey(3), x)
+    want = net_ref.apply(params, x)
+    got = net_pkd.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

@@ -245,3 +245,62 @@ def test_spatial_sharded_sliding_window_bitexact():
                                      volume_sharding=vs)
     got = sharded.predict_volume(vol)
     np.testing.assert_array_equal(got, want)
+
+
+def test_dp_train_step_classes_mode():
+    # label_mode="classes": rank-4 int labels must shard under the DP mesh
+    # (round-3 ADVICE: the rank-5 spec used to raise in device_put) and the
+    # sharded step must match single-device
+    from nas_3d_unet_tpu.parallel.mesh import put_batch
+
+    geno = parse_alphas(init_alphas(jax.random.PRNGKey(0), 2), 2)
+    net = DerivedNet(genotype=geno, in_channels=4, num_classes=4, base_channels=4,
+                     depth=2, n_nodes=2, gn_groups=4, remat=False,
+                     dtype_name="float32")
+    tx = make_optimizer(1e-3, 1e-4)
+    step = make_train_step(net.apply, tx, augment=None, label_mode="classes")
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((8, 8, 8, 8, 4)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 4, size=(8, 8, 8, 8)).astype(np.int32))
+
+    def init_state():
+        params = net.init(jax.random.PRNGKey(1), jnp.zeros_like(x))
+        return TrainState(params=params, opt_state=tx.init(params),
+                          step=jnp.asarray(0, jnp.int32), rng=jax.random.PRNGKey(2))
+
+    s_single, m_single = _run_train(init_state(), step, x, y)
+
+    mesh = make_mesh()
+    state = replicate(mesh, init_state())
+    xs, ys = put_batch((np.asarray(x), np.asarray(y)), batch_sharding(mesh))
+    s_dp, m_dp = _run_train(state, step, xs, ys)
+    np.testing.assert_allclose(float(m_single["loss"]), float(m_dp["loss"]),
+                               rtol=2e-5)
+
+
+def test_prefetcher_classes_mode_sharded():
+    # Prefetcher._put must rank-trim the spec for the rank-4 label array
+    from nas_3d_unet_tpu.data.pipeline import PatchGenerator, PatientCache, Prefetcher
+
+    class _FakeCache:
+        def __init__(self):
+            rng = np.random.default_rng(0)
+            self.records = [{
+                "image": rng.standard_normal((16, 16, 16, 4)).astype(np.float32),
+                "label": rng.integers(0, 4, size=(16, 16, 16)).astype(np.int32),
+            }]
+
+        def __len__(self):
+            return 1
+
+    gen = PatchGenerator(_FakeCache(), (8, 8, 8), batch_size=8, seed=0,
+                         augment=False)
+    mesh = make_mesh()
+    pf = Prefetcher(gen, depth=1, sharding=batch_sharding(mesh))
+    try:
+        x, y = pf.next()
+        assert x.shape == (8, 8, 8, 8, 4) and y.shape == (8, 8, 8, 8)
+        assert tuple(y.sharding.spec)[0] == "data"
+    finally:
+        pf.close()

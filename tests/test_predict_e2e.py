@@ -49,3 +49,44 @@ def test_predict_patient_end_to_end(tmp_path):
     assert out.data.shape == (28, 24, 20)
     assert set(np.unique(out.data)).issubset({0, 1, 2, 4})
     assert res["seconds"] > 0
+
+
+def test_predict_dataset_prefetched_matches_sequential(tmp_path):
+    # the double-buffered (look-ahead) patient loop must be bit-identical to
+    # per-patient sequential prediction, and device-resident input volumes
+    # must stitch bit-identically to numpy inputs
+    import jax.numpy as jnp
+
+    from nas_3d_unet_tpu.data.preprocess import load_patient_h5
+    from nas_3d_unet_tpu.infer.predict import predict_dataset
+
+    h5dir = tmp_path / "h5"
+    h5dir.mkdir()
+    for i in range(3):
+        pdir = _make_patient(tmp_path, name=f"BraTS19_pf_{i}",
+                             shape=(28 - i, 24, 20 + i))
+        preprocess_patient(str(pdir), str(h5dir / f"p{i}.h5"))
+
+    geno = parse_alphas(init_alphas(jax.random.PRNGKey(0), 2), 2)
+    net = DerivedNet(genotype=geno, in_channels=4, num_classes=3, base_channels=4,
+                     depth=2, n_nodes=2, gn_groups=4, remat=False,
+                     dtype_name="float32")
+    params = net.init(jax.random.PRNGKey(1), np.zeros((1, 8, 8, 8, 4), np.float32))
+    predictor = SlidingWindowPredictor(net.apply, params, patch_size=(8, 8, 8),
+                                       overlap=0.5, batch_size=4, num_classes=3)
+
+    results = predict_dataset(predictor, str(h5dir), out_dir=str(tmp_path / "o1"))
+    assert len(results) == 3
+    for i, res in enumerate(results):
+        seq = predict_patient(predictor, str(h5dir / f"p{i}.h5"),
+                              out_dir=str(tmp_path / "o2"))
+        a = read_nifti(res["output"]).data
+        b = read_nifti(seq["output"]).data
+        np.testing.assert_array_equal(a, b)
+
+    # device-resident volume == numpy volume, bitwise
+    rec = load_patient_h5(str(h5dir / "p0.h5"))
+    p_np = predictor.predict_volume(rec["image"])
+    p_dev = predictor.predict_volume(jax.device_put(
+        np.ascontiguousarray(rec["image"], np.float32)))
+    np.testing.assert_array_equal(p_np, p_dev)
