@@ -90,7 +90,7 @@ def bench_train() -> float:
     net = DerivedNet(genotype=default_genotype(3), in_channels=4, num_classes=3,
                      base_channels=16, depth=3, n_nodes=3, gn_groups=8,
                      norm="group", remat=remat, dtype_name="bfloat16",
-                     packed=packed)
+                     packed=packed, unpack_head=not packed)
     tx = make_optimizer(3e-4, 1e-4)
     step = make_train_step(net.apply, tx,
                            augment=dict(flip_prob=0.5, intensity_shift=0.1,
@@ -128,7 +128,8 @@ def bench_search() -> float:
 
     net = SuperNet(in_channels=4, num_classes=3, base_channels=16, depth=3,
                    n_nodes=3, gn_groups=8, norm="group", remat=True,
-                   remat_edges=False, dtype_name="bfloat16", packed=True)
+                   remat_edges=False, dtype_name="bfloat16", packed=True,
+                   unpack_head=False)
     w_tx = optax.adamw(3e-4, weight_decay=1e-4)
     a_tx = optax.adamw(3e-4, weight_decay=1e-3)
     step = make_search_step(net.apply, w_tx, a_tx,

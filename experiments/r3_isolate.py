@@ -34,7 +34,8 @@ from nas_3d_unet_tpu.utils.timing import time_fn
 N_CHAIN = 6
 
 
-def bench_conv(shape_bdhwc, r, cin, cout, dtype=jnp.bfloat16, stride=1):
+def bench_conv(shape_bdhwc, r, cin, cout, dtype=jnp.bfloat16, stride=1,
+               mode="d2"):
     b, d, h, wp, rc = shape_bdhwc
     assert rc == r * cin
     lin = standard_layout(r, cin)
@@ -47,7 +48,7 @@ def bench_conv(shape_bdhwc, r, cin, cout, dtype=jnp.bfloat16, stride=1):
                       dtype) for _ in range(N_CHAIN)]
 
     conv = partial(packed_conv, lin=lin, lout=lout, w_in=w_in,
-                   kernel=(3, 3, 3), stride=stride)
+                   kernel=(3, 3, 3), stride=stride, conv_mode=mode)
 
     @jax.jit
     def fwd_chain(x, ws):
@@ -127,8 +128,12 @@ def bench_gn(shape_bdhwc, r, c, groups=8, dtype=jnp.bfloat16):
 
 
 def main():
-    which = os.environ.get("WHICH", "conv0,conv1,gn0")
+    which = os.environ.get("WHICH", "modes,gn0")
     results = {}
+    if "modes" in which:   # conv lowering shoot-out at level 0
+        for mode in os.environ.get("MODES", "d2,wcat,3d").split(","):
+            results[f"conv_L0_{mode}"] = bench_conv(
+                (1, 128, 128, 16, 128), 8, 16, 16, mode=mode)
     if "conv0" in which:   # level 0: r=8, c=16
         results["conv_L0_r8c16"] = bench_conv((1, 128, 128, 16, 128), 8, 16, 16)
     if "conv1" in which:   # level 1: r=4, c=32

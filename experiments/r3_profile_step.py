@@ -29,15 +29,18 @@ def main():
     patch = int(os.environ.get("P", "128"))
     batch = int(os.environ.get("B", "1"))
     remat = os.environ.get("REMAT", "0") == "1"
+    aug = os.environ.get("AUG", "1") == "1"
+    unpack_head = os.environ.get("UNPACK_HEAD", "0") == "1"
     trace_dir = os.environ.get("TRACE_DIR", "/tmp/r3_trace")
 
     net = DerivedNet(genotype=default_genotype(3), in_channels=4, num_classes=3,
                      base_channels=16, depth=3, n_nodes=3, gn_groups=8,
-                     norm="group", remat=remat, dtype_name="bfloat16", packed=True)
+                     norm="group", remat=remat, dtype_name="bfloat16", packed=True,
+                     unpack_head=unpack_head)
     tx = make_optimizer(3e-4, 1e-4)
     step = make_train_step(net.apply, tx,
                            augment=dict(flip_prob=0.5, intensity_shift=0.1,
-                                        intensity_scale=0.1))
+                                        intensity_scale=0.1) if aug else None)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, patch, patch, patch, 4)).astype(np.float32))

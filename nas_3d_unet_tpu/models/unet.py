@@ -51,6 +51,13 @@ class _UNetBase(nn.Module):
     use_pallas: bool = False
     merge_ops: bool = True    # exact graph-level op merging (derived + supernet)
     packed: bool = False      # lane-packed execution (ops/packed.py)
+    # Return head logits still packed (a PX) instead of (B,D,H,W,K).  The
+    # training loss consumes the packed form directly (metrics/dice.py
+    # _dice_ce_loss_packed) — the unpacked K=3 head tensor tiles at 3/128
+    # lanes, so materializing it costs ~42× its logical bytes per pass.
+    # Inference/eval keep the default (unpacked) contract.  Params are
+    # identical across the flag.
+    unpack_head: bool = True
 
     @property
     def compute_dtype(self) -> jnp.dtype:
@@ -88,7 +95,7 @@ class _UNetBase(nn.Module):
             # name-derived init RNG stream) is identical across the flag
             y = PackedConvK(self.num_classes, 1, 1, 1, jnp.float32,
                             use_bias=True, name="Conv_0")(x)
-            return y.unpack()
+            return y.unpack() if self.unpack_head else y.to_standard()
         return nn.Conv(self.num_classes, (1, 1, 1), padding="SAME",
                        dtype=jnp.float32, param_dtype=jnp.float32)(x)
 

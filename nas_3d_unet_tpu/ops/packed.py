@@ -41,6 +41,7 @@ Reference: this replaces the cuDNN delegation of the reference's prim_ops
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Sequence, Tuple
 
@@ -160,10 +161,45 @@ def _w_tap_plan(kernel_w: int, stride: int, dilation: int,
     return o_min, kp, sp, (pad_lo_p, pad_hi_p)
 
 
+def packed_kernel_weights(w: Array, lin: PackedLayout, lout: PackedLayout,
+                          *, w_in: int, kernel: Tuple[int, int, int],
+                          stride: int = 1, dilation: int = 1):
+    """Build the dense packed kernel for a logical conv kernel `w`.
+
+    Returns (wp, o_min, kp, sp, (plo, phi)): the packed kernel
+    (kd, kh, kp, r_in·Cin, r_out·Cout), the minimum W-block offset, packed
+    kernel width, packed-W stride, and explicit packed-W padding.  One dense
+    einsum against a trace-time one-hot constant — NOT a scatter (see
+    packed_conv)."""
+    kd, kh, kw_sz = kernel
+    cin, cout = lin.c, lout.c
+    r_in, r_out = lin.r, lout.r
+    assert w.shape == (kd, kh, kw_sz, cin, cout), (w.shape, kernel, cin, cout)
+
+    o_min, kp, sp, (plo, phi) = _w_tap_plan(
+        kw_sz, stride, dilation, lin, lout, w_in)
+
+    idx_in = lin.index()                            # (r_in, cin)
+    pad_lo_w, _ = same_pad(w_in, kw_sz, stride, dilation)
+    sel = np.zeros((kw_sz, kp, r_in * cin, r_out, cin), np.float32)
+    for kw in range(kw_sz):
+        for do in range(r_out):
+            u = stride * do + dilation * kw - pad_lo_w - o_min * r_in
+            kwp, di = u // r_in, u % r_in
+            for ci in range(cin):
+                sel[kw, kwp, idx_in[di, ci], do, ci] = 1.0
+
+    selj = jnp.asarray(sel, w.dtype)
+    wp = jnp.einsum("wkpoc,dhwce->dhkpoe", selj, w)  # (kd,kh,KP,rCin,r_out,Cout)
+    wp = wp.reshape(kd, kh, kp, r_in * cin, r_out * cout)
+    return wp, o_min, kp, sp, (plo, phi)
+
+
 def packed_conv(xp: Array, w: Array, lin: PackedLayout, lout: PackedLayout,
                 *, w_in: int, kernel: Tuple[int, int, int] = (3, 3, 3),
                 stride: int = 1, dilation: int = 1,
-                precision=None, decompose_d: bool = True) -> Array:
+                precision=None, decompose_d: bool = True,
+                conv_mode: str | None = None) -> Array:
     """Packed 3D conv, exact vs lax SAME conv on the unpacked tensors.
 
     `w`: logical kernel (kd, kh, kw, Cin, Cout).  `w_in`: the ORIGINAL
@@ -179,46 +215,31 @@ def packed_conv(xp: Array, w: Array, lin: PackedLayout, lout: PackedLayout,
     fp32 accumulation per output, only the kd-sum order changes.
     """
     kd, kh, kw_sz = kernel
-    cin, cout = lin.c, lout.c
-    r_in, r_out = lin.r, lout.r
-    assert w.shape == (kd, kh, kw_sz, cin, cout), (w.shape, kernel, cin, cout)
-
-    o_min, kp, sp, (plo, phi) = _w_tap_plan(
-        kw_sz, stride, dilation, lin, lout, w_in)
-
     # Build the packed kernel as ONE dense einsum against a tiny trace-time
     # one-hot constant — NOT a scatter.  (Round-2 profile: .at[].set with
     # explicit index arrays lowered to scatter HLO + s32 index constants
     # whose host→device copies and materialization fusions were ~70% of the
     # packed step's device time; the convs themselves were ~3%.)
-    #
-    # pos_to_c / pos_to_d: packed input position p → (logical channel,
-    # W-slot); OH[kw, kwp, p, δo] = 1 iff input slot δ(p) at packed-kernel
-    # position kwp feeds output slot δo through logical W-tap kw, i.e.
-    #   kwp·r_in + δ(p) == stride·δo + dilation·kw − pad_lo − o_min·r_in.
-    idx_in = lin.index()                            # (r_in, cin)
-    pad_lo_w, _ = same_pad(w_in, kw_sz, stride, dilation)
     # sel[kw, kwp, p, δo, ci] = 1 iff packed input position p holds logical
     # channel ci at W-slot δi, and that slot at packed-kernel position kwp
     # feeds output slot δo through logical W-tap kw:
     #   kwp·r_in + δi == stride·δo + dilation·kw − pad_lo − o_min·r_in
-    sel = np.zeros((kw_sz, kp, r_in * cin, r_out, cin), np.float32)
-    for kw in range(kw_sz):
-        for do in range(r_out):
-            u = stride * do + dilation * kw - pad_lo_w - o_min * r_in
-            kwp, di = u // r_in, u % r_in
-            for ci in range(cin):
-                sel[kw, kwp, idx_in[di, ci], do, ci] = 1.0
-
-    selj = jnp.asarray(sel, w.dtype)
-    wp = jnp.einsum("wkpoc,dhwce->dhkpoe", selj, w)  # (kd,kh,KP,rCin,r_out,Cout)
-    wp = wp.reshape(kd, kh, kp, r_in * cin, r_out * cout)
+    wp, o_min, kp, sp, (plo, phi) = packed_kernel_weights(
+        w, lin, lout, w_in=w_in, kernel=kernel, stride=stride,
+        dilation=dilation)
 
     d_in, h_in = xp.shape[1], xp.shape[2]
     pad_d = same_pad(d_in, kd, stride, dilation)
     pad_h = same_pad(h_in, kh, stride, dilation)
 
-    if decompose_d and kd > 1:
+    mode = conv_mode if conv_mode is not None else _CONV_MODE
+    if mode == "auto":
+        mode = "d2" if decompose_d else "3d"
+    if mode == "wcat":
+        return _conv_wcat(xp, wp, kd=kd, kh=kh, kp=kp, stride=stride,
+                          dilation=dilation, sp=sp, pad_d=pad_d, pad_h=pad_h,
+                          pad_w=(plo, phi), precision=precision)
+    if mode == "d2" and kd > 1:
         return _conv_d_decomposed(xp, wp, kd=kd, stride=stride,
                                   dilation=dilation, sp=sp,
                                   pad_d=pad_d, pad_h=pad_h, pad_w=(plo, phi),
@@ -229,6 +250,46 @@ def packed_conv(xp: Array, w: Array, lin: PackedLayout, lout: PackedLayout,
     return jax.lax.conv_general_dilated(
         xp, wp, window_strides=(stride, stride, sp),
         padding=[pad_d, pad_h, (plo, phi)],
+        rhs_dilation=(dilation, dilation, 1),
+        dimension_numbers=dn, precision=precision)
+
+
+# Global lowering mode for packed convs (experiments flip it; the shipped
+# default is whatever measured fastest end-to-end — PERF_NOTES.md):
+#   "d2"   — per-kd-tap 2D convs over the (B·D) plane batch + shifted adds
+#   "wcat" — fold the kp W-block taps into channels; ONE (kd, kh, 1) conv
+#   "3d"   — single dense 3D conv (kd, kh, kp)
+_CONV_MODE = "auto"
+
+
+def set_conv_mode(mode: str) -> None:
+    global _CONV_MODE
+    assert mode in ("auto", "d2", "wcat", "3d"), mode
+    _CONV_MODE = mode
+
+
+def _conv_wcat(xp: Array, wp: Array, *, kd: int, kh: int, kp: int,
+               stride: int, dilation: int, sp: int, pad_d, pad_h, pad_w,
+               precision) -> Array:
+    """Fold the kp packed-W taps into channels: one (kd, kh, 1) conv.
+
+    xcat[..., wp, o·rc+p] = xpad[..., wp·sp + o, p]; the conv then treats
+    Wp as a batch-like spatial dim (kernel 1), with D/H taps native.  The
+    kernel reshape (kd, kh, kp, rc_in, rc_out) → (kd, kh, 1, kp·rc_in,
+    rc_out) matches the o-major concat order.  Exact: same taps, same
+    per-output fp32 accumulation; only the tap-summation order changes."""
+    b, d, h, wpn, rc = xp.shape
+    plo, phi = pad_w
+    xpad = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (plo, phi), (0, 0)))
+    wp_out = (wpn + plo + phi - kp) // sp + 1
+    parts = [xpad[:, :, :, o:o + sp * (wp_out - 1) + 1:sp] for o in range(kp)]
+    xcat = parts[0] if kp == 1 else jnp.concatenate(parts, axis=-1)
+    wk = wp.reshape(kd, kh, 1, kp * wp.shape[3], wp.shape[4])
+    dn = jax.lax.conv_dimension_numbers(xcat.shape, wk.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    return jax.lax.conv_general_dilated(
+        xcat, wk, window_strides=(stride, stride, 1),
+        padding=[pad_d, pad_h, (0, 0)],
         rhs_dilation=(dilation, dilation, 1),
         dimension_numbers=dn, precision=precision)
 
@@ -336,53 +397,131 @@ def packed_transpose2x(xp: Array, w: Array, lin: PackedLayout,
 # ---------------------------------------------------------------------------
 
 
+def _gn_meta(layout: PackedLayout, groups: int):
+    """Trace-time fold maps for GN on a packed layout."""
+    r, c = layout.r, layout.c
+    gsize = c // groups
+    idx = layout.index()
+    pos_to_c = np.empty((r * c,), dtype=np.int64)
+    for d in range(r):
+        for ch in range(c):
+            pos_to_c[idx[d, ch]] = ch
+    pos_group = pos_to_c // gsize                   # (rC,)
+    fold_g = np.zeros((r * c, groups), np.float32)  # packed pos -> group
+    fold_g[np.arange(r * c), pos_group] = 1.0
+    fold_c = np.zeros((r * c, c), np.float32)       # packed pos -> channel
+    fold_c[np.arange(r * c), pos_to_c] = 1.0
+    return pos_to_c, pos_group, fold_g, fold_c
+
+
+@functools.lru_cache(maxsize=None)
+def _gn_core(layout: PackedLayout, groups: int, eps: float):
+    """GroupNorm on a packed tensor with a hand-written VJP.
+
+    Why custom: the autodiff backward of the FMA-normalize materializes
+    full-volume fp32 intermediates (the upcast shared by the s1/s2 stats
+    becomes a fusion OUTPUT — a 268 MB buffer per level-0 GN in the round-3
+    profile) plus several extra elementwise passes.  The analytic GN
+    gradient needs exactly two converting reductions over (dy, x) and one
+    fused FMA pass for dx; everything else is tiny (B, rC)/(B, G) algebra.
+
+        dx = a·dy + c2·x + c1,     a  = inv·γ (as in fwd)
+        c2 = −inv²·S_tx̂/n,        c1 = −inv·S_t/n + inv²·μ·S_tx̂/n
+        S_t = Σ_g γ·dy,           S_tx̂·inv⁻¹ = Σ_g γ·dy·x − μ·S_t
+
+    dγ/dβ fold the same two reductions to logical channels.  All
+    full-volume arithmetic reads/writes the input dtype; fp32 math lives
+    inside the fusions (converting reduces / fused upcasts), never in HBM.
+    """
+    r, c = layout.r, layout.c
+    gsize = c // groups
+    pos_to_c, pos_group, fold_g, fold_c = _gn_meta(layout, groups)
+    # NOTE: keep constants as NUMPY here — _gn_core is lru_cached, and a
+    # jnp.asarray created inside one trace (e.g. under nn.remat) would leak
+    # that trace's tracer into every later caller.  jnp conversion happens
+    # per call; XLA dedups the constants.
+
+    def _stats(xp):
+        n = xp.shape[1] * xp.shape[2] * xp.shape[3] * r * gsize
+        # converting reduces: the fp32 upcast fuses INTO each reduction —
+        # no fp32 volume is materialized (the old shared-xf form did)
+        s1 = jnp.sum(xp, axis=(1, 2, 3), dtype=jnp.float32)          # (B, rC)
+        s2 = jnp.sum(jnp.square(xp.astype(jnp.float32)), axis=(1, 2, 3))
+        g1 = s1 @ jnp.asarray(fold_g)                                # (B, G)
+        g2 = s2 @ jnp.asarray(fold_g)
+        mean = g1 / n
+        var = g2 / n - mean * mean
+        inv = jax.lax.rsqrt(var + eps)
+        return mean, inv, n
+
+    def _affine(mean, inv, scale, bias, bshape):
+        mean_p = mean[:, pos_group]                 # (B, rC)
+        inv_p = inv[:, pos_group]
+        scale_p = scale[pos_to_c]
+        bias_p = bias[pos_to_c]
+        a = (inv_p * scale_p).reshape(bshape)       # f32
+        b = (bias_p - mean_p * inv_p * scale_p).reshape(bshape)
+        return a, b
+
+    @jax.custom_vjp
+    def gn(xp, scale, bias):
+        mean, inv, _ = _stats(xp)
+        shp = (xp.shape[0], 1, 1, 1, r * c)
+        a, b = _affine(mean, inv, scale, bias, shp)
+        return xp * a.astype(xp.dtype) + b.astype(xp.dtype)
+
+    def gn_fwd(xp, scale, bias):
+        mean, inv, _ = _stats(xp)
+        shp = (xp.shape[0], 1, 1, 1, r * c)
+        a, b = _affine(mean, inv, scale, bias, shp)
+        y = xp * a.astype(xp.dtype) + b.astype(xp.dtype)
+        return y, (xp, scale, mean, inv)
+
+    def gn_bwd(res, dy):
+        xp, scale, mean, inv = res
+        bsz = xp.shape[0]
+        n = xp.shape[1] * xp.shape[2] * xp.shape[3] * r * gsize
+        # two converting reductions over (dy, x) — one fused pass
+        r1 = jnp.sum(dy, axis=(1, 2, 3), dtype=jnp.float32)          # (B, rC)
+        r2 = jnp.sum(dy.astype(jnp.float32) * xp.astype(jnp.float32),
+                     axis=(1, 2, 3))                                 # (B, rC)
+        scale_p = scale[pos_to_c][None]             # (1, rC)
+        t1 = (scale_p * r1) @ jnp.asarray(fold_g)   # (B, G)  Σ γ·dy
+        t2 = (scale_p * r2) @ jnp.asarray(fold_g)   # (B, G)  Σ γ·dy·x
+        s_t = t1
+        s_tx = inv * (t2 - mean * t1)               # Σ t·x̂
+        a_g = inv                                   # per-group inv
+        c2_g = -(a_g * a_g) * s_tx / n
+        c1_g = -a_g * s_t / n - c2_g * mean
+        shp = (bsz, 1, 1, 1, r * c)
+        a_p = (inv[:, pos_group] * scale_p).reshape(shp)
+        c1_p = c1_g[:, pos_group].reshape(shp)
+        c2_p = c2_g[:, pos_group].reshape(shp)
+        # single fused FMA pass; fp32 math inside the fusion, bf16 in HBM
+        dx = (dy.astype(jnp.float32) * a_p + xp.astype(jnp.float32) * c2_p
+              + c1_p).astype(xp.dtype)
+        # parameter grads from the same reductions (fp32, summed over batch)
+        dgamma = jnp.sum((inv[:, pos_group] * (r2 - mean[:, pos_group] * r1))
+                         @ jnp.asarray(fold_c), axis=0)   # (C,)
+        dbeta = jnp.sum(r1 @ jnp.asarray(fold_c), axis=0)
+        return dx, dgamma, dbeta
+
+    gn.defvjp(gn_fwd, gn_bwd)
+    return gn
+
+
 def packed_group_norm(xp: Array, scale: Array, bias: Array, groups: int,
                       layout: PackedLayout, eps: float = 1e-6,
                       relu: bool = False) -> Array:
     """GroupNorm over logical channels of a packed tensor (per-sample stats
     over D, H, W and the channels of each group), matching nn.GroupNorm.
 
-    Stats: one f32 reduction to (B, r·C), folded to per-group scalars with
+    Stats: converting-reduce to (B, r·C), folded to per-group scalars with
     the layout's index map; normalization is a single elementwise pass with
-    packed-gathered scale/bias.  The volume is never reshaped."""
-    c, r = layout.c, layout.r
-    assert c % groups == 0
-    gsize = c // groups
-    idx = layout.index()                            # (r, c)
-
-    xf = xp.astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=(1, 2, 3))                # (B, rC)
-    s2 = jnp.sum(xf * xf, axis=(1, 2, 3))           # (B, rC)
-    # fold: packed position -> (group) sums.  Gather (B, rC) -> (B, r, c)
-    gather = idx.reshape(-1)                        # (r*c,) positions in packed order δ-major
-    s1 = s1[:, gather].reshape(-1, r, groups, gsize)
-    s2 = s2[:, gather].reshape(-1, r, groups, gsize)
-    n = xp.shape[1] * xp.shape[2] * xp.shape[3] * r * gsize
-    mean = jnp.sum(s1, axis=(1, 3)) / n             # (B, G)
-    ex2 = jnp.sum(s2, axis=(1, 3)) / n
-    var = ex2 - mean * mean
-    inv = jax.lax.rsqrt(var + eps)                  # (B, G)
-
-    # per-packed-channel affine: packed position p holds logical channel
-    # c(p) in group g(p).  Precombine into y = x·a + b with a = inv·scale
-    # and b = bias − mean·inv·scale (tiny f32 vectors), then run the
-    # normalize pass as ONE fused multiply-add in the input dtype — no f32
-    # full-volume intermediate to materialize or relayout (those copies
-    # were ~15% of the round-2 packed step).
-    pos_to_c = np.empty((r * c,), dtype=np.int64)
-    for d in range(r):
-        for ch in range(c):
-            pos_to_c[idx[d, ch]] = ch
-    pos_group = pos_to_c // gsize                   # (rC,)
-    scale_p = scale[pos_to_c]                       # (rC,)
-    bias_p = bias[pos_to_c]
-    mean_p = mean[:, pos_group]                     # (B, rC)
-    inv_p = inv[:, pos_group]
-
-    shp = (xp.shape[0], 1, 1, 1, r * c)
-    a = (inv_p * scale_p).reshape(shp)              # (B,1,1,1,rC) f32
-    b = (bias_p - mean_p * inv_p * scale_p).reshape(shp)
-    y = xp * a.astype(xp.dtype) + b.astype(xp.dtype)
+    packed-gathered scale/bias; the backward is analytic (_gn_core) — two
+    reductions + one FMA pass.  The volume is never reshaped."""
+    assert layout.c % groups == 0
+    y = _gn_core(layout, groups, float(eps))(xp, scale, bias)
     if relu:
         y = jax.nn.relu(y)
     return y

@@ -201,16 +201,23 @@ class Searcher:
         aug = (dict(flip_prob=dc.flip_prob, intensity_shift=dc.intensity_shift,
                     intensity_scale=dc.intensity_scale) if device_augment else None)
         self.augment_val = bool(getattr(sc, "augment_val", False))
+        # packed supernets keep the head packed through both loss passes
+        # (train/loop.py has the rationale); the α-split eval keeps the
+        # unpacked contract for the region-dice decode
+        step_net = supernet
+        if (getattr(supernet, "packed", False) and dc.label_mode == "regions"
+                and getattr(supernet, "unpack_head", True)):
+            step_net = supernet.clone(unpack_head=False)
         if getattr(sc, "unrolled", False):
             xi = sc.xi if getattr(sc, "xi", 0.0) > 0 else sc.w_lr
             self.search_step = make_search_step_unrolled(
-                supernet.apply, self.w_tx, self.a_tx, xi, aug, dc.label_mode,
+                step_net.apply, self.w_tx, self.a_tx, xi, aug, dc.label_mode,
                 self.augment_val)
         else:
-            self.search_step = make_search_step(supernet.apply, self.w_tx,
+            self.search_step = make_search_step(step_net.apply, self.w_tx,
                                                 self.a_tx, aug, dc.label_mode,
                                                 self.augment_val)
-        self.warmup_step = make_warmup_step(supernet.apply, self.w_tx, aug,
+        self.warmup_step = make_warmup_step(step_net.apply, self.w_tx, aug,
                                             dc.label_mode)
 
         def _super_apply(bundle, x):

@@ -157,7 +157,14 @@ class Trainer:
         self.tx = make_optimizer(tc.lr, tc.weight_decay)
         aug = (dict(flip_prob=dc.flip_prob, intensity_shift=dc.intensity_shift,
                     intensity_scale=dc.intensity_scale) if device_augment else None)
-        self.train_step = make_train_step(net.apply, self.tx, augment=aug,
+        # packed nets keep the head packed through the training loss (the
+        # unpacked K=3 logits tensor is ~42x lane-padded — models/unet.py
+        # unpack_head); eval/inference keep the unpacked contract
+        train_net = net
+        if (getattr(net, "packed", False) and dc.label_mode == "regions"
+                and getattr(net, "unpack_head", True)):
+            train_net = net.clone(unpack_head=False)
+        self.train_step = make_train_step(train_net.apply, self.tx, augment=aug,
                                           label_mode=dc.label_mode)
         self.eval_step = make_eval_step(net.apply, label_mode=dc.label_mode)
         self.plateau = PlateauController(tc.lr_patience, tc.lr_factor, tc.min_lr)
