@@ -59,9 +59,13 @@ def bench_conv(shape_bdhwc, r, cin, cout, dtype=jnp.bfloat16, stride=1,
 
     @jax.jit
     def fwd_fan(x, ws):
+        # square the outputs so the gradient's dy is a REAL tensor — with a
+        # plain sum, dy == ones and XLA constant-folds the dW contraction
+        # into a window-sum (observed: gw_fan FASTER than fwd_fan)
         acc = jnp.float32(0)
         for w in ws:
-            acc += jnp.sum(conv(x, w).astype(jnp.float32))
+            y = conv(x, w)
+            acc += jnp.sum(jnp.square(y.astype(jnp.float32)))
         return acc
 
     @jax.jit

@@ -232,6 +232,20 @@ def packed_conv(xp: Array, w: Array, lin: PackedLayout, lout: PackedLayout,
     pad_d = same_pad(d_in, kd, stride, dilation)
     pad_h = same_pad(h_in, kh, stride, dilation)
 
+    if (kd == 1 and kh == 1 and kp == 1 and sp == 1 and stride == 1
+            and (plo, phi) == (0, 0)):
+        # pure channel mix (1³ conv, same packing): lower as dot_general.
+        # XLA's conv-grad path left ~4× on the table for these — the dW of a
+        # dot is a plain (rCin × rCout) matmul contraction over voxels,
+        # full MXU tiles (round-3 profile: [1,1,1,384,X] dW fusions at
+        # 1.5 ms vs a 0.35 ms roofline).  fp32 accumulation matches the
+        # conv path's internal accumulation for bf16 inputs.
+        w2 = wp.reshape(wp.shape[3], wp.shape[4])
+        y = jax.lax.dot_general(xp, w2, (((4,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=precision)
+        return y.astype(xp.dtype)
+
     mode = conv_mode if conv_mode is not None else _CONV_MODE
     if mode == "auto":
         mode = "d2" if decompose_d else "3d"
@@ -397,6 +411,30 @@ def packed_transpose2x(xp: Array, w: Array, lin: PackedLayout,
 # ---------------------------------------------------------------------------
 
 
+# GN stats implementation: "xla" (converting reduces) or "pallas"
+# (ops/pallas/stats.py single-pass moments/weighted-sums kernels).  Flag for
+# A/B measurement on the full step — micro-benches on this rig are too noisy
+# to decide (PERF_NOTES round 3).  CPU always uses XLA (compiled Pallas is
+# TPU-only here; interpret mode would be slower).
+import os as _os
+
+_GN_STATS_IMPL = _os.environ.get("NAS3D_GN_STATS", "xla")
+
+
+def set_gn_stats_impl(impl: str) -> None:
+    global _GN_STATS_IMPL
+    assert impl in ("xla", "pallas"), impl
+    _GN_STATS_IMPL = impl
+
+
+def _use_pallas_stats(shape) -> bool:
+    if _GN_STATS_IMPL != "pallas" or jax.default_backend() == "cpu":
+        return False
+    from .pallas.stats import stats_viable
+
+    return stats_viable(shape)
+
+
 def _gn_meta(layout: PackedLayout, groups: int):
     """Trace-time fold maps for GN on a packed layout."""
     r, c = layout.r, layout.c
@@ -415,7 +453,8 @@ def _gn_meta(layout: PackedLayout, groups: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _gn_core(layout: PackedLayout, groups: int, eps: float):
+def _gn_core(layout: PackedLayout, groups: int, eps: float,
+             relu: bool = False):
     """GroupNorm on a packed tensor with a hand-written VJP.
 
     Why custom: the autodiff backward of the FMA-normalize materializes
@@ -443,10 +482,15 @@ def _gn_core(layout: PackedLayout, groups: int, eps: float):
 
     def _stats(xp):
         n = xp.shape[1] * xp.shape[2] * xp.shape[3] * r * gsize
-        # converting reduces: the fp32 upcast fuses INTO each reduction —
-        # no fp32 volume is materialized (the old shared-xf form did)
-        s1 = jnp.sum(xp, axis=(1, 2, 3), dtype=jnp.float32)          # (B, rC)
-        s2 = jnp.sum(jnp.square(xp.astype(jnp.float32)), axis=(1, 2, 3))
+        if _use_pallas_stats(xp.shape):
+            from .pallas.stats import moments
+
+            s1, s2 = moments(xp)                                     # one pass
+        else:
+            # converting reduces: the fp32 upcast fuses INTO each reduction
+            # — no fp32 volume is materialized (the old shared-xf form did)
+            s1 = jnp.sum(xp, axis=(1, 2, 3), dtype=jnp.float32)      # (B, rC)
+            s2 = jnp.sum(jnp.square(xp.astype(jnp.float32)), axis=(1, 2, 3))
         g1 = s1 @ jnp.asarray(fold_g)                                # (B, G)
         g2 = s2 @ jnp.asarray(fold_g)
         mean = g1 / n
@@ -468,23 +512,39 @@ def _gn_core(layout: PackedLayout, groups: int, eps: float):
         mean, inv, _ = _stats(xp)
         shp = (xp.shape[0], 1, 1, 1, r * c)
         a, b = _affine(mean, inv, scale, bias, shp)
-        return xp * a.astype(xp.dtype) + b.astype(xp.dtype)
+        y = xp * a.astype(xp.dtype) + b.astype(xp.dtype)
+        return jax.nn.relu(y) if relu else y
 
     def gn_fwd(xp, scale, bias):
         mean, inv, _ = _stats(xp)
         shp = (xp.shape[0], 1, 1, 1, r * c)
         a, b = _affine(mean, inv, scale, bias, shp)
         y = xp * a.astype(xp.dtype) + b.astype(xp.dtype)
-        return y, (xp, scale, mean, inv)
+        if relu:
+            y = jax.nn.relu(y)
+        return y, (xp, scale, bias, mean, inv)
 
     def gn_bwd(res, dy):
-        xp, scale, mean, inv = res
+        xp, scale, bias, mean, inv = res
+        if relu:
+            # mask dy where the pre-activation was ≤ 0; the affine is
+            # RECOMPUTED (tiny vectors broadcast) so it fuses into every
+            # consumer instead of keeping y alive or spending a mask pass
+            shp0 = (xp.shape[0], 1, 1, 1, r * c)
+            a0, b0 = _affine(mean, inv, scale, bias, shp0)
+            pre = xp * a0.astype(xp.dtype) + b0.astype(xp.dtype)
+            dy = jnp.where(pre > 0, dy, jnp.zeros((), dy.dtype))
         bsz = xp.shape[0]
         n = xp.shape[1] * xp.shape[2] * xp.shape[3] * r * gsize
-        # two converting reductions over (dy, x) — one fused pass
-        r1 = jnp.sum(dy, axis=(1, 2, 3), dtype=jnp.float32)          # (B, rC)
-        r2 = jnp.sum(dy.astype(jnp.float32) * xp.astype(jnp.float32),
-                     axis=(1, 2, 3))                                 # (B, rC)
+        if _use_pallas_stats(xp.shape):
+            from .pallas.stats import weighted_sums
+
+            r1, r2 = weighted_sums(dy, xp)                           # one pass
+        else:
+            # two converting reductions over (dy, x) — one fused pass
+            r1 = jnp.sum(dy, axis=(1, 2, 3), dtype=jnp.float32)      # (B, rC)
+            r2 = jnp.sum(dy.astype(jnp.float32) * xp.astype(jnp.float32),
+                         axis=(1, 2, 3))                             # (B, rC)
         scale_p = scale[pos_to_c][None]             # (1, rC)
         t1 = (scale_p * r1) @ jnp.asarray(fold_g)   # (B, G)  Σ γ·dy
         t2 = (scale_p * r2) @ jnp.asarray(fold_g)   # (B, G)  Σ γ·dy·x
@@ -513,18 +573,18 @@ def _gn_core(layout: PackedLayout, groups: int, eps: float):
 def packed_group_norm(xp: Array, scale: Array, bias: Array, groups: int,
                       layout: PackedLayout, eps: float = 1e-6,
                       relu: bool = False) -> Array:
-    """GroupNorm over logical channels of a packed tensor (per-sample stats
-    over D, H, W and the channels of each group), matching nn.GroupNorm.
+    """GroupNorm (optionally fused with ReLU) over logical channels of a
+    packed tensor (per-sample stats over D, H, W and the channels of each
+    group), matching nn.GroupNorm (+ jax.nn.relu).
 
     Stats: converting-reduce to (B, r·C), folded to per-group scalars with
     the layout's index map; normalization is a single elementwise pass with
     packed-gathered scale/bias; the backward is analytic (_gn_core) — two
-    reductions + one FMA pass.  The volume is never reshaped."""
+    reductions + one FMA pass, with the ReLU mask recomputed from the
+    affine (no saved activation, no separate mask pass).  The volume is
+    never reshaped."""
     assert layout.c % groups == 0
-    y = _gn_core(layout, groups, float(eps))(xp, scale, bias)
-    if relu:
-        y = jax.nn.relu(y)
-    return y
+    return _gn_core(layout, groups, float(eps), bool(relu))(xp, scale, bias)
 
 
 # ---------------------------------------------------------------------------

@@ -68,11 +68,13 @@ class PallasGroupNorm(nn.Module):
 
 
 class PackedGroupNormMod(nn.Module):
-    """GroupNorm on a PX activation; nn.GroupNorm's param tree."""
+    """GroupNorm (optionally ReLU-fused) on a PX activation; nn.GroupNorm's
+    param tree."""
 
     num_groups: int
     dtype: jnp.dtype = jnp.float32
     epsilon: float = 1e-6
+    relu: bool = False
 
     @nn.compact
     def __call__(self, x: PX) -> PX:
@@ -80,28 +82,35 @@ class PackedGroupNormMod(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         y = packed_group_norm(x.data.astype(self.dtype), scale, bias,
-                              self.num_groups, x.layout, self.epsilon, False)
+                              self.num_groups, x.layout, self.epsilon,
+                              self.relu)
         return PX(y, x.layout, x.w_in)
 
 
 def _norm(kind: str, gn_groups: int, dtype,
           use_pallas: bool = False) -> Callable[[], nn.Module]:
+    """Factory: make(c, packed, relu) → (module, relu_was_fused).
+
+    `relu` is a fusion REQUEST: the packed GroupNorm folds the activation
+    into its custom-VJP normalize pass (one less full-volume pass fwd and
+    no mask pass bwd); other branches leave the ReLU to the caller."""
     if kind in ("group", "instance"):
-        def make(c, packed=False):
+        def make(c, packed=False, relu=False):
             groups = c if kind == "instance" else _gn_groups_for(c, gn_groups)
             # all classes share the param tree; name fixed for checkpoint
             # compatibility across the use_pallas / packed flags
             if packed:
-                return PackedGroupNormMod(num_groups=groups, dtype=dtype,
-                                          name="norm")
+                return (PackedGroupNormMod(num_groups=groups, dtype=dtype,
+                                           relu=relu, name="norm"), relu)
             if use_pallas:
-                return PallasGroupNorm(num_groups=groups, dtype=dtype, name="norm")
-            return nn.GroupNorm(num_groups=groups, dtype=dtype,
-                                param_dtype=jnp.float32, name="norm")
+                return (PallasGroupNorm(num_groups=groups, dtype=dtype,
+                                        name="norm"), False)
+            return (nn.GroupNorm(num_groups=groups, dtype=dtype,
+                                 param_dtype=jnp.float32, name="norm"), False)
         return make
     if kind == "none":
-        def make(c, packed=False):
-            return lambda x: x
+        def make(c, packed=False, relu=False):
+            return (lambda x: x), False
         return make
     raise ValueError(f"unknown norm {kind!r}")
 
@@ -249,9 +258,11 @@ class ConvNormAct(nn.Module):
                 param_dtype=jnp.float32,
                 name="conv",
             )(x)
-        x = _norm(self.norm, self.gn_groups, self.dtype,
-                  self.use_pallas)(self.features, packed)(x)
-        if self.act:
+        norm_mod, relu_fused = _norm(self.norm, self.gn_groups, self.dtype,
+                                     self.use_pallas)(self.features, packed,
+                                                      relu=self.act)
+        x = norm_mod(x)
+        if self.act and not relu_fused:
             x = PX(nn.relu(x.data), x.layout, x.w_in) if packed else nn.relu(x)
         return x
 
@@ -297,8 +308,12 @@ class SepConv(nn.Module):
                     param_dtype=jnp.float32,
                     name="pw",
                 )(x)
-        x = _norm(self.norm, self.gn_groups, self.dtype,
-                  self.use_pallas)(self.features, packed)(x)
+        norm_mod, relu_fused = _norm(self.norm, self.gn_groups, self.dtype,
+                                     self.use_pallas)(self.features, packed,
+                                                      relu=True)
+        x = norm_mod(x)
+        if relu_fused:
+            return x
         return PX(nn.relu(x.data), x.layout, x.w_in) if packed else nn.relu(x)
 
 
@@ -412,8 +427,12 @@ class UpTranspose(nn.Module):
                 param_dtype=jnp.float32,
                 name="deconv",
             )(x)
-        x = _norm(self.norm, self.gn_groups, self.dtype,
-                  self.use_pallas)(self.features, packed)(x)
+        norm_mod, relu_fused = _norm(self.norm, self.gn_groups, self.dtype,
+                                     self.use_pallas)(self.features, packed,
+                                                      relu=True)
+        x = norm_mod(x)
+        if relu_fused:
+            return x
         return PX(nn.relu(x.data), x.layout, x.w_in) if packed else nn.relu(x)
 
 

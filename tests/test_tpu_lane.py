@@ -79,3 +79,76 @@ def test_one_fenced_train_step_on_chip():
     dt, state = time_step_chain(step, state, x, y, iters=3, warmup=2)
     assert dt > 1e-4  # a fenced 64³ step cannot be dispatch-only fast
     assert int(jax.device_get(state.step)) == 5
+
+
+def test_packed_forward_matches_unpacked_on_chip():
+    """The shipped path's core claim — packed == unpacked — proven on the
+    real chip, not CPU-extrapolated (round-3 VERDICT #8)."""
+    from nas_3d_unet_tpu.models.genotype import default_genotype
+    from nas_3d_unet_tpu.models.unet import DerivedNet
+
+    kw = dict(genotype=default_genotype(2), in_channels=4, num_classes=3,
+              base_channels=8, depth=2, n_nodes=2, gn_groups=4, remat=False,
+              dtype_name="float32")
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 4)).astype(np.float32))
+    net_u = DerivedNet(**kw, packed=False)
+    net_p = DerivedNet(**kw, packed=True)
+    params = net_p.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(jax.jit(net_u.apply)(params, x))
+    got = np.asarray(jax.jit(net_p.apply)(params, x))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_sliding_window_stitch_exact_on_chip():
+    """The on-chip scan/dynamic-slice stitcher arithmetic is bit-identical
+    to the numpy oracle (elementwise forward, so the forward itself is
+    IEEE-deterministic across compilations), and a real packed-net
+    whole-volume prediction is deterministic on chip and matches the
+    per-patch composition to fp32 tolerance."""
+    from nas_3d_unet_tpu.infer.sliding import (SlidingWindowPredictor,
+                                               grid_coords,
+                                               sliding_window_probs)
+    from nas_3d_unet_tpu.models.genotype import default_genotype
+    from nas_3d_unet_tpu.models.unet import DerivedNet
+
+    rng = np.random.default_rng(3)
+    vol = rng.standard_normal((40, 36, 32, 4)).astype(np.float32)
+    patch = (32, 32, 32)
+    stride = (16, 16, 16)
+
+    # 1) stitcher arithmetic, bit-for-bit (elementwise forward)
+    def fwd_elem(x):
+        return x[..., :3] * jnp.float32(0.5) + jnp.float32(0.25)
+
+    got = sliding_window_probs(fwd_elem, vol, patch, 0.5, batch_size=2,
+                               num_classes=3)
+    sums = np.zeros((*vol.shape[:3], 3), np.float32)
+    cnts = np.zeros((*vol.shape[:3], 1), np.float32)
+    for (d, h, w) in grid_coords(vol.shape[:3], patch, stride):
+        pr = vol[d:d+32, h:h+32, w:w+32, :3] * np.float32(0.5) + np.float32(0.25)
+        sums[d:d+32, h:h+32, w:w+32] += pr
+        cnts[d:d+32, h:h+32, w:w+32] += 1.0
+    np.testing.assert_array_equal(got, sums / cnts)
+
+    # 2) real packed net: deterministic on chip; matches per-patch
+    # composition to fp32 tolerance (different jit contexts may reassociate)
+    net = DerivedNet(genotype=default_genotype(2), in_channels=4, num_classes=3,
+                     base_channels=8, depth=2, n_nodes=2, gn_groups=4,
+                     remat=False, dtype_name="float32", packed=True)
+    params = net.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, 32, 32, 32, 4), jnp.float32))
+    pred = SlidingWindowPredictor(net.apply, params, patch, overlap=0.5,
+                                  batch_size=2, num_classes=3)
+    a = pred.predict_volume(vol)
+    b = pred.predict_volume(vol)
+    np.testing.assert_array_equal(a, b)          # on-chip determinism
+    fwd = jax.jit(lambda p: pred.forward_probs(p))
+    sums[:] = 0.0
+    cnts[:] = 0.0
+    for (d, h, w) in grid_coords(vol.shape[:3], patch, stride):
+        pr = np.asarray(fwd(jnp.asarray(vol[None, d:d+32, h:h+32, w:w+32]))[0],
+                        np.float32)
+        sums[d:d+32, h:h+32, w:w+32] += pr
+        cnts[d:d+32, h:h+32, w:w+32] += 1.0
+    np.testing.assert_allclose(a, sums / cnts, rtol=2e-5, atol=2e-5)
