@@ -42,6 +42,7 @@ Reference: this replaces the cuDNN delegation of the reference's prim_ops
 from __future__ import annotations
 
 import functools
+import os as _os
 from dataclasses import dataclass
 from typing import Sequence, Tuple
 
@@ -253,7 +254,11 @@ def packed_conv(xp: Array, w: Array, lin: PackedLayout, lout: PackedLayout,
         return _conv_wcat(xp, wp, kd=kd, kh=kh, kp=kp, stride=stride,
                           dilation=dilation, sp=sp, pad_d=pad_d, pad_h=pad_h,
                           pad_w=(plo, phi), precision=precision)
-    if mode == "d2" and kd > 1:
+    if mode == "d2c" and kd > 1 and stride == 1:
+        return _conv_d_combined(xp, wp, kd=kd, dilation=dilation, sp=sp,
+                                pad_d=pad_d, pad_h=pad_h, pad_w=(plo, phi),
+                                precision=precision)
+    if mode in ("d2", "d2c") and kd > 1:
         return _conv_d_decomposed(xp, wp, kd=kd, stride=stride,
                                   dilation=dilation, sp=sp,
                                   pad_d=pad_d, pad_h=pad_h, pad_w=(plo, phi),
@@ -273,13 +278,51 @@ def packed_conv(xp: Array, w: Array, lin: PackedLayout, lout: PackedLayout,
 #   "d2"   — per-kd-tap 2D convs over the (B·D) plane batch + shifted adds
 #   "wcat" — fold the kp W-block taps into channels; ONE (kd, kh, 1) conv
 #   "3d"   — single dense 3D conv (kd, kh, kp)
-_CONV_MODE = "auto"
+_CONV_MODE = _os.environ.get("NAS3D_CONV_MODE", "auto")
 
 
 def set_conv_mode(mode: str) -> None:
     global _CONV_MODE
-    assert mode in ("auto", "d2", "wcat", "3d"), mode
+    assert mode in ("auto", "d2", "d2c", "wcat", "3d"), mode
     _CONV_MODE = mode
+
+
+def _conv_d_combined(xp: Array, wp: Array, *, kd: int, dilation: int,
+                     sp: int, pad_d, pad_h, pad_w, precision) -> Array:
+    """All kd depth taps in ONE 2D conv (stride-1 depth only).
+
+    _conv_d_decomposed reads the full input once PER TAP (kd×); here the
+    taps are folded into output channels — conv2d over the (B·D) plane
+    batch with Cout' = kd·rc_out, input read once — then one fused
+    shifted-add combines the channel blocks (output-channel slices are
+    128-lane aligned: rc_out is a multiple of 128 on every packed level).
+    Exact: same taps, same per-output fp32 conv accumulation; only the
+    kd-sum order changes (as with d2)."""
+    b, d_in, h_in, wp_n, rc_in = xp.shape
+    rc_out = wp.shape[-1]
+    x2 = xp.reshape(b * d_in, h_in, wp_n, rc_in)
+    # (kd, kh, kp, rc_in, rc_out) -> (kh, kp, rc_in, kd·rc_out)
+    wk = jnp.moveaxis(wp, 0, 3).reshape(wp.shape[1], wp.shape[2],
+                                        rc_in, kd * rc_out)
+    dn2 = jax.lax.conv_dimension_numbers(
+        x2.shape, wk.shape, ("NHWC", "HWIO", "NHWC"))
+    z = jax.lax.conv_general_dilated(
+        x2, wk, window_strides=(1, sp), padding=[pad_h, pad_w],
+        rhs_dilation=(dilation, 1), dimension_numbers=dn2,
+        precision=precision)
+    z = z.reshape(b, d_in, z.shape[1], z.shape[2], kd, rc_out)
+    acc = None
+    for k in range(kd):
+        shift = dilation * k - pad_d[0]             # input plane of output 0
+        t = z[:, :, :, :, k]
+        if shift > 0:
+            t = jnp.pad(t[:, shift:], ((0, 0), (0, shift), (0, 0), (0, 0),
+                                       (0, 0)))
+        elif shift < 0:
+            t = jnp.pad(t[:, :shift], ((0, 0), (-shift, 0), (0, 0), (0, 0),
+                                       (0, 0)))
+        acc = t if acc is None else acc + t
+    return acc
 
 
 def _conv_wcat(xp: Array, wp: Array, *, kd: int, kh: int, kp: int,
@@ -416,14 +459,12 @@ def packed_transpose2x(xp: Array, w: Array, lin: PackedLayout,
 # A/B measurement on the full step — micro-benches on this rig are too noisy
 # to decide (PERF_NOTES round 3).  CPU always uses XLA (compiled Pallas is
 # TPU-only here; interpret mode would be slower).
-import os as _os
-
 _GN_STATS_IMPL = _os.environ.get("NAS3D_GN_STATS", "xla")
 
 
 def set_gn_stats_impl(impl: str) -> None:
     global _GN_STATS_IMPL
-    assert impl in ("xla", "pallas"), impl
+    assert impl in ("xla", "pallas", "dot"), impl
     _GN_STATS_IMPL = impl
 
 
@@ -486,6 +527,21 @@ def _gn_core(layout: PackedLayout, groups: int, eps: float,
             from .pallas.stats import moments
 
             s1, s2 = moments(xp)                                     # one pass
+        elif _GN_STATS_IMPL == "dot":
+            # MXU formulation of the stats (tiny-output XLA reduces measured
+            # ~6× off roofline — PERF_NOTES round 3).  bf16·bf16 products are
+            # EXACT in the fp32 MXU accumulator, so the gram diagonal is the
+            # precision-equivalent of a converting square-reduce.
+            bsz = xp.shape[0]
+            x2 = xp.reshape(bsz, -1, r * c)                          # (B,V,rC)
+            ones = jnp.ones(x2.shape[:2], xp.dtype)                  # (B, V)
+            s1 = jax.lax.dot_general(
+                ones, x2, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)                  # (B, rC)
+            gram = jax.lax.dot_general(
+                x2, x2, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)                  # (B,rC,rC)
+            s2 = jnp.diagonal(gram, axis1=1, axis2=2)                # (B, rC)
         else:
             # converting reduces: the fp32 upcast fuses INTO each reduction
             # — no fp32 volume is materialized (the old shared-xf form did)
@@ -540,6 +596,19 @@ def _gn_core(layout: PackedLayout, groups: int, eps: float,
             from .pallas.stats import weighted_sums
 
             r1, r2 = weighted_sums(dy, xp)                           # one pass
+        elif _GN_STATS_IMPL == "dot":
+            # MXU formulation: Σdy as a ones-dot, Σdy·x as the cross-gram
+            # diagonal — exact fp32 accumulation of bf16 products
+            dy2 = dy.reshape(bsz, -1, r * c)
+            x2 = xp.reshape(bsz, -1, r * c)
+            ones = jnp.ones(dy2.shape[:2], dy.dtype)
+            r1 = jax.lax.dot_general(
+                ones, dy2, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)                  # (B, rC)
+            cross = jax.lax.dot_general(
+                dy2, x2, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)                  # (B,rC,rC)
+            r2 = jnp.diagonal(cross, axis1=1, axis2=2)               # (B, rC)
         else:
             # two converting reductions over (dy, x) — one fused pass
             r1 = jnp.sum(dy, axis=(1, 2, 3), dtype=jnp.float32)      # (B, rC)

@@ -331,3 +331,77 @@ def test_packed_r2_to_r1_stride2():
                       standard_layout(1, cout), w_in=W, stride=2)
     np.testing.assert_allclose(np.asarray(unpack(got, 1)), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["d2", "d2c", "wcat", "3d"])
+@pytest.mark.parametrize("stride,dilation", [(1, 1), (1, 2), (2, 1)])
+def test_packed_conv_lowering_modes_exact(mode, stride, dilation):
+    # every lowering mode computes the same taps with fp32 conv accumulation;
+    # tolerances only absorb tap-summation order differences
+    rng = np.random.default_rng(31)
+    cin, cout, W, r = 3, 5, 16, 4
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, W, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)).astype(np.float32))
+    want = _conv_ref(x, w, stride, dilation)
+    r_out = r if stride == 1 else r // 2
+    got = packed_conv(pack(x, r), w, standard_layout(r, cin),
+                      standard_layout(r_out, cout), w_in=W, kernel=(3, 3, 3),
+                      stride=stride, dilation=dilation, conv_mode=mode)
+    np.testing.assert_allclose(np.asarray(unpack(got, r_out)),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_conv_d2c_grads_match_d2():
+    rng = np.random.default_rng(32)
+    cin, cout, W, r = 4, 4, 16, 4
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, W, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)).astype(np.float32))
+
+    def loss(mode):
+        def f(x, w):
+            y = packed_conv(pack(x, r), w, standard_layout(r, cin),
+                            standard_layout(r, cout), w_in=W,
+                            kernel=(3, 3, 3), conv_mode=mode)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+        return jax.grad(f, argnums=(0, 1))(x, w)
+
+    gx_a, gw_a = loss("d2")
+    gx_b, gw_b = loss("d2c")
+    np.testing.assert_allclose(np.asarray(gx_b), np.asarray(gx_a),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_b), np.asarray(gw_a),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_packed_group_norm_dot_stats_matches_xla():
+    from nas_3d_unet_tpu.ops import packed as pk
+
+    rng = np.random.default_rng(33)
+    c, W, r, groups = 8, 16, 4, 4
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, W, c)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1 + 1)
+    bias = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1)
+
+    def run(xp):
+        def f(xp, scale, bias):
+            y = packed_group_norm(xp, scale, bias, groups,
+                                  standard_layout(r, c), relu=True)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+        val, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(xp, scale, bias)
+        return val, grads
+
+    xp = pack(x, r)
+    pk._gn_core.cache_clear()   # impl is baked in at trace time
+    pk.set_gn_stats_impl("xla")
+    v_a, g_a = run(xp)
+    pk._gn_core.cache_clear()
+    pk.set_gn_stats_impl("dot")
+    try:
+        v_b, g_b = run(xp)
+    finally:
+        pk.set_gn_stats_impl("xla")
+        pk._gn_core.cache_clear()
+    np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_a), rtol=1e-5)
+    for a, b in zip(g_a, g_b):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
