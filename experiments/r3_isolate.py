@@ -104,6 +104,69 @@ def bench_conv(shape_bdhwc, r, cin, cout, dtype=jnp.bfloat16, stride=1,
             "marginal_ms_per_conv": {k: round(v * 1e3, 3) for k, v in marg.items()}}
 
 
+def bench_gemmroof(dtype=jnp.bfloat16):
+    """MXU/bandwidth ceiling for the shift-GEMM packed-conv formulation.
+
+    The packed L0 conv is exactly 18 taps of (V,128)@(128,128) on shifted
+    views (the one-hot construction folds all lane mixing into the tap
+    matrices).  A Pallas kernel would read x ONCE (tiles in VMEM) and run
+    the 18 matmuls per tile.  Ceilings measured here:
+      g_sum18:   y = Σ_t x @ A_t   (no shifts) — XLA reads x per dot: the
+                 bandwidth-limited version of the kernel's inner loop
+      g_im2col:  one (V,2304)@(2304,128) GEMM — classic im2col ceiling
+      g_one:     single (V,128)@(128,128) tap — per-tap MXU efficiency
+    """
+    V = 128 * 128 * 16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((V, 128)).astype(np.float32), dtype)
+    ats = jnp.asarray(rng.standard_normal((18, 128, 128)).astype(np.float32) * .05,
+                      dtype)
+    big = jnp.asarray(rng.standard_normal((2304, 128)).astype(np.float32) * .05,
+                      dtype)
+    xw = jnp.asarray(rng.standard_normal((V, 2304)).astype(np.float32), dtype)
+
+    @jax.jit
+    def g_sum18(x, ats):
+        acc = None
+        for t in range(18):
+            y = jax.lax.dot(x, ats[t], precision=jax.lax.Precision.DEFAULT,
+                            preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+        return acc.astype(jnp.bfloat16)
+
+    @jax.jit
+    def g_im2col(xw, big):
+        return jax.lax.dot(xw, big,
+                           preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    @jax.jit
+    def g_one(x, a):
+        return jax.lax.dot(x, a,
+                           preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    @jax.jit
+    def g_chain36(x, ats):
+        # dependent chain: per-step traffic is the minimum (read+write one
+        # (V,128) bf16) — XLA's efficiency at the tap-GEMM shape itself
+        y = x
+        for t in range(36):
+            y = jax.lax.dot(y, ats[t % 18],
+                            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        return y
+
+    out = {}
+    t, _ = time_fn(g_chain36, x, ats, iters=8, warmup=2)
+    out["g_chain36_ms"] = round(t * 1e3, 3)
+    out["g_chain_ms_per_tap"] = round(t * 1e3 / 36, 4)
+    t, _ = time_fn(g_sum18, x, ats, iters=8, warmup=2)
+    out["g_sum18_ms"] = round(t * 1e3, 3)
+    t, _ = time_fn(g_im2col, xw, big, iters=8, warmup=2)
+    out["g_im2col_ms"] = round(t * 1e3, 3)
+    t, _ = time_fn(g_one, x, ats[0], iters=8, warmup=2)
+    out["g_one_ms"] = round(t * 1e3, 3)
+    return out
+
+
 def bench_gn(shape_bdhwc, r, c, groups=8, dtype=jnp.bfloat16):
     lay = standard_layout(r, c)
     rng = np.random.default_rng(0)
@@ -146,6 +209,8 @@ def main():
         results["conv_L0_r8c48_16"] = bench_conv((1, 128, 128, 16, 384), 8, 48, 16)
     if "gn0" in which:
         results["gn_L0_r8c16"] = bench_gn((1, 128, 128, 16, 128), 8, 16)
+    if "gemmroof" in which:
+        results["gemmroof"] = bench_gemmroof()
     print(json.dumps(results, indent=1))
 
 

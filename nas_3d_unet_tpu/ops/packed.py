@@ -250,6 +250,21 @@ def packed_conv(xp: Array, w: Array, lin: PackedLayout, lout: PackedLayout,
     mode = conv_mode if conv_mode is not None else _CONV_MODE
     if mode == "auto":
         mode = "d2" if decompose_d else "3d"
+    if mode == "pg":
+        from .pallas.pgemm import pgemm_viable
+
+        interp = _os.environ.get("NAS3D_PG_INTERPRET", "0") == "1"
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if ((on_tpu or interp)
+                and pgemm_viable(stride=stride, sp=sp, r_in=lin.r,
+                                 r_out=lout.r, kd=kd, kh=kh, kp=kp,
+                                 o_min=o_min, wp_n=xp.shape[3],
+                                 dtype=xp.dtype)
+                and lin.idx == standard_layout(lin.r, lin.c).idx
+                and lout.idx == standard_layout(lout.r, lout.c).idx):
+            return _pg_fn(lin, lout, w_in, kernel, dilation,
+                          interp and not on_tpu)(xp, w)
+        mode = "d2"   # fallback: stride-2 / degenerate-r / non-std layouts
     if mode == "wcat":
         return _conv_wcat(xp, wp, kd=kd, kh=kh, kp=kp, stride=stride,
                           dilation=dilation, sp=sp, pad_d=pad_d, pad_h=pad_h,
@@ -283,8 +298,59 @@ _CONV_MODE = _os.environ.get("NAS3D_CONV_MODE", "auto")
 
 def set_conv_mode(mode: str) -> None:
     global _CONV_MODE
-    assert mode in ("auto", "d2", "d2c", "wcat", "3d"), mode
+    assert mode in ("auto", "d2", "d2c", "wcat", "3d", "pg"), mode
     _CONV_MODE = mode
+
+
+@functools.lru_cache(maxsize=None)
+def _pg_fn(lin: PackedLayout, lout: PackedLayout, w_in: int,
+           kernel: Tuple[int, int, int], dilation: int, interpret: bool):
+    """custom-VJP shift-GEMM conv (ops/pallas/pgemm.py) for one geometry.
+
+    fwd: the Pallas kernel.  bwd: dx reuses the SAME kernel — for a
+    stride-1 symmetric-SAME conv, dx = conv(dy, flip-transposed w), whose
+    packed taps have the same sparse-edge structure; dW goes through
+    jax.linear_transpose of the d2 lowering, i.e. exactly the XLA conv-grad
+    contraction the autodiff path uses (measured ~78% of MXU peak —
+    PERF_NOTES "packed-dW question").  Exactness vs d2: same taps; the
+    kernel accumulates ALL taps in one fp32 scratch (d2 rounds to bf16 per
+    kd tap), so agreement is to tap-summation order."""
+    from .pallas.pgemm import conv_pgemm
+
+    kd, kh, kw_sz = kernel
+
+    def fwd_impl(xp, w, lin_, lout_):
+        wp, o_min, kp, sp, (plo, phi) = packed_kernel_weights(
+            w, lin_, lout_, w_in=w_in, kernel=kernel, stride=1,
+            dilation=dilation)
+        pad_w_lo = same_pad(w_in, kw_sz, 1, dilation)[0]
+        return conv_pgemm(xp, wp, dilation=dilation, r=lin_.r, c_in=lin_.c,
+                          kernel_w=kw_sz, pad_w_lo=pad_w_lo,
+                          interpret=interpret)
+
+    @jax.custom_vjp
+    def f(xp, w):
+        return fwd_impl(xp, w, lin, lout)
+
+    def f_fwd(xp, w):
+        return fwd_impl(xp, w, lin, lout), (xp, w)
+
+    def f_bwd(res, dy):
+        xp, w = res
+        wt = jnp.flip(w, (0, 1, 2)).swapaxes(3, 4)
+        lin_t = standard_layout(lout.r, lout.c)
+        lout_t = standard_layout(lin.r, lin.c)
+        dx = fwd_impl(dy, wt, lin_t, lout_t).astype(xp.dtype)
+
+        def ref(ww):
+            return packed_conv(xp, ww, lin, lout, w_in=w_in, kernel=kernel,
+                               stride=1, dilation=dilation, conv_mode="d2")
+
+        (dw,) = jax.linear_transpose(ref, w)(dy)
+        return dx, dw
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
 
 
 def _conv_d_combined(xp: Array, wp: Array, *, kd: int, dilation: int,

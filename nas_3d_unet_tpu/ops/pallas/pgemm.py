@@ -1,0 +1,197 @@
+"""Shift-GEMM Pallas kernel for stride-1 packed 3³ convs.
+
+The lane-packed conv (ops/packed.py) is structurally a sum of shifted
+GEMMs: the one-hot kernel construction folds ALL lane mixing into per-tap
+(rC_in × rC_out) matrices, so
+
+    y[d, h, wp] = Σ_{kd,kh,o}  x[d+Δd, h+Δh, wp+o] @ A[kd, kh, o]
+
+with o ∈ {−1, 0, +1} packed-W block offsets.  The shipped XLA lowering
+(d2: per-kd-tap 2D convs) measures 2.08 ms/conv at the level-0 shape
+against a 1.18 ms dense-MXU floor (27 K=128 tap units) — and the edge taps
+(o = ±1) are ~dil/r sparse, which XLA's dense conv cannot exploit
+(round-3 profile, PERF_NOTES.md).  Design (v2 — v1 with a (B·D, kd)
+revisit grid + fp32 scratch measured only parity, 2.2 ms: 384 tiny grid
+steps and 18 MB/plane of scratch read-modify-write traffic):
+
+  * ONE grid step per output plane; the three kd taps are three block
+    views (index maps bd, bd+dil, bd+2dil) of a D/H-pre-padded input, so
+    every in-kernel read is an in-bounds slice on the UNTILED H axis — no
+    masks, no halo arithmetic, no revisit scratch;
+  * per kh, ONE matmul: the operand lane-concatenates the three kd center
+    planes (3·rC) with a pre-merged edge operand (the o = ±1 taps' live
+    lanes of all three kd planes — their row supports are the first and
+    last `dil` W-slots of the block, disjoint and contiguous — padded to
+    a 128-lane segment).  K = 3·rC + 128·⌈3·K_e/128⌉: 12 MXU tap units at
+    level 0 instead of 27 dense (0.53 ms floor), and the three kh partial
+    products sum in registers (input-side shifts keep them aligned);
+  * output written once per plane — no fp32 accumulator in VMEM, no
+    read-modify-write.
+
+The backward reuses this kernel: dx of a stride-1 symmetric-SAME conv is
+the same conv with the flip-transposed logical kernel, whose packed taps
+have the same sparse edge structure.  dW stays on XLA's conv-grad path
+(measured at ~78% of MXU peak — PERF_NOTES "packed-dW question, closed").
+
+Reference mapping: accelerates the cuDNN-delegated conv cells of the
+reference's prim_ops (SURVEY.md §2a "Pallas conv kernels … that WIN").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _edge_slots(kernel_w: int, dilation: int, r: int, pad_lo: int):
+    """Live W-slot ranges of the o = ±1 packed-W taps (numpy, trace time).
+
+    For output slot do and logical tap kw, the read position is
+    t = do + dilation·kw − pad_lo; o = ⌊t/r⌋.  Returns (n_next, n_prev):
+    o=+1 lives in slots [0, n_next), o=−1 in slots [r−n_prev, r)."""
+    nxt, prv = set(), set()
+    for kw in range(kernel_w):
+        for do in range(r):
+            t = do + dilation * kw - pad_lo
+            if t // r == 1:
+                nxt.add(t - r)
+            elif t // r == -1:
+                prv.add(t + r)
+    n_next = (max(nxt) + 1) if nxt else 0
+    n_prev = (r - min(prv)) if prv else 0
+    assert nxt == set(range(n_next)), (nxt, "o=+1 slots not contiguous-from-0")
+    assert prv == set(range(r - n_prev, r)), (prv, "o=-1 slots not suffix")
+    return n_next, n_prev
+
+
+def _kernel(x0_ref, x1_ref, x2_ref, e0_ref, e1_ref, e2_ref,
+            ac_ref, ae_ref, o_ref, *,
+            h_n: int, wp_n: int, dil: int, kh: int, rc_out: int):
+    m = h_n * wp_n
+    xs = (x0_ref, x1_ref, x2_ref)
+    es = (e0_ref, e1_ref, e2_ref)
+    y = None
+    for kh_i in range(kh):
+        a0 = kh_i * dil      # padded-H slice start: out h reads pad-h h+kh_i*dil
+        for k in range(3):
+            seg = xs[k][0, a0:a0 + h_n].reshape(m, xs[k].shape[-1])
+            t = jnp.dot(seg, ac_ref[k, kh_i],
+                        preferred_element_type=jnp.float32)
+            y = t if y is None else y + t
+            ee = es[k][0, a0:a0 + h_n].reshape(m, es[k].shape[-1])
+            y = y + jnp.dot(ee, ae_ref[k, kh_i],
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = y.reshape(h_n, wp_n, rc_out).astype(o_ref.dtype)
+
+
+def conv_pgemm(xp: Array, wp: Array, *, dilation: int,
+               r: int, c_in: int, kernel_w: int, pad_w_lo: int,
+               interpret: bool = False) -> Array:
+    """Stride-1 packed conv as a shift-GEMM Pallas kernel.
+
+    xp: (B, D, H, Wp, rC_in) packed activations (standard layout).
+    wp: (3, KH, 3, rC_in, rC_out) packed kernel (kp=3: o in {-1,0,+1}).
+    Returns (B, D, H, Wp, rC_out) in xp.dtype.  Exact up to tap-summation
+    order vs the d2 lowering (all taps accumulate in fp32 here; d2 rounds
+    to the I/O dtype per kd tap).
+    """
+    b, d_n, h_n, wp_n, rc_in = xp.shape
+    kd, kh, kp, _, rc_out = wp.shape
+    assert kd == 3 and kp == 3, (kd, kp)
+    dil = dilation
+    c = c_in
+    n_next, n_prev = _edge_slots(kernel_w, dil, r, pad_w_lo)
+    assert n_next and n_prev, (n_next, n_prev)
+
+    # ---- XLA-side prep: exactly two padded copies ----
+    # D/H-padded centers: out plane bd reads padded planes bd, bd+dil,
+    # bd+2dil of its batch; H taps read padded rows kh_i*dil + [0, H).
+    x_pp = jnp.pad(xp, ((0, 0), (dil, dil), (dil, dil), (0, 0), (0, 0)))
+    d_pp = d_n + 2 * dil
+    hp = h_n + 2 * dil
+    x_pp = x_pp.reshape(b * d_pp, hp, wp_n, rc_in)
+
+    # edge operand: live lanes of the +-1-Wp-shifted volume (disjoint
+    # contiguous slot ranges), same D/H padding
+    xe_n = jnp.pad(xp[:, :, :, 1:, :n_next * c],
+                   ((0, 0), (dil, dil), (dil, dil), (0, 1), (0, 0)))
+    xe_p = jnp.pad(xp[:, :, :, :-1, (r - n_prev) * c:],
+                   ((0, 0), (dil, dil), (dil, dil), (1, 0), (0, 0)))
+    xe = jnp.concatenate([xe_n, xe_p], axis=-1)
+    ke2 = xe.shape[-1]
+    xe = xe.reshape(b * d_pp, hp, wp_n, ke2)
+
+    # per-kd tap matrices: centers (o=0 is packed index 1) and the merged
+    # edge rows in the operand's lane order [next-lanes | prev-lanes]
+    ac = wp[:, :, 1]                                 # (3, KH, rc_in, rc_out)
+    ae = jnp.concatenate([wp[:, :, 2, :n_next * c],
+                          wp[:, :, 0, (r - n_prev) * c:]], axis=2)
+
+    kern = functools.partial(_kernel, h_n=h_n, wp_n=wp_n, dil=dil, kh=kh,
+                             rc_out=rc_out)
+
+    nb = b * d_n
+
+    def center(delta):
+        # padded plane index of out plane bd's kd-tap `delta` in {0, 1, 2}
+        return lambda bd: ((bd // d_n) * d_pp + bd % d_n + delta * dil,
+                           0, 0, 0)
+
+    flops = 2 * nb * h_n * wp_n * (3 * rc_in + 3 * ke2) * rc_out * kh
+    return pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, hp, wp_n, rc_in), center(0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp_n, rc_in), center(1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp_n, rc_in), center(2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp_n, ke2), center(0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp_n, ke2), center(1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp_n, ke2), center(2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, kh, rc_in, rc_out), lambda bd: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, kh, ke2, rc_out), lambda bd: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h_n, wp_n, rc_out),
+                               lambda bd: (bd, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, h_n, wp_n, rc_out), xp.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(3 * x_pp.size + 3 * xe.size
+                            + nb * h_n * wp_n * rc_out) * xp.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x_pp, x_pp, x_pp, xe, xe, xe, ac, ae).reshape(
+        b, d_n, h_n, wp_n, rc_out)
+
+
+def pgemm_viable(*, stride: int, sp: int, r_in: int, r_out: int,
+                 kd: int, kh: int, kp: int, o_min: int,
+                 wp_n: int, dtype) -> bool:
+    """Static dispatch gate for the shift-GEMM kernel.
+
+    Requires: stride-1 same-r conv (r ≥ 2), kd=3 with kp=3 and
+    o ∈ {−1,0,+1} (the k=3 SAME geometry at every packed level), Wp a
+    whole number of sublane tiles so the in-kernel (H,Wp)→rows collapse is
+    layout-free."""
+    sublane = 16 if dtype == jnp.bfloat16 else 8
+    return (stride == 1 and sp == 1 and r_in == r_out and r_in >= 2
+            and kd == 3 and kh == 3 and kp == 3 and o_min == -1
+            and wp_n % sublane == 0 and wp_n >= sublane)
