@@ -37,7 +37,7 @@ def main():
                      base_channels=16, depth=3, n_nodes=3, gn_groups=8,
                      norm="group", remat=remat, dtype_name="bfloat16", packed=True,
                      unpack_head=unpack_head)
-    tx = make_optimizer(3e-4, 1e-4)
+    tx = make_optimizer(3e-4, 1e-4, flat=os.environ.get("FLAT", "1") == "1")
     step = make_train_step(net.apply, tx,
                            augment=dict(flip_prob=0.5, intensity_shift=0.1,
                                         intensity_scale=0.1) if aug else None)

@@ -71,24 +71,60 @@ def _edge_slots(kernel_w: int, dilation: int, r: int, pad_lo: int):
     return n_next, n_prev
 
 
-def _kernel(x0_ref, x1_ref, x2_ref, e0_ref, e1_ref, e2_ref,
-            ac_ref, ae_ref, o_ref, *,
-            h_n: int, wp_n: int, dil: int, kh: int, rc_out: int):
+def _kernel(xa_ref, xb_ref, ea_ref, eb_ref, ac_ref, ae_ref, o_ref, *,
+            p_n: int, h_n: int, wp_n: int, dil: int, kh: int, rc_out: int):
     m = h_n * wp_n
-    xs = (x0_ref, x1_ref, x2_ref)
-    es = (e0_ref, e1_ref, e2_ref)
-    y = None
-    for kh_i in range(kh):
-        a0 = kh_i * dil      # padded-H slice start: out h reads pad-h h+kh_i*dil
+
+    def seg(ref_a, ref_b, q, a0):
+        # plane q of this step's [P | 2*dil-halo] window, H rows a0..a0+h
+        if q < p_n:
+            v = ref_a[0, q, a0:a0 + h_n]
+        else:
+            v = ref_b[0, q - p_n, a0:a0 + h_n]
+        return v.reshape(m, v.shape[-1])
+
+    for p in range(p_n):
+        y = None
         for k in range(3):
-            seg = xs[k][0, a0:a0 + h_n].reshape(m, xs[k].shape[-1])
-            t = jnp.dot(seg, ac_ref[k, kh_i],
-                        preferred_element_type=jnp.float32)
-            y = t if y is None else y + t
-            ee = es[k][0, a0:a0 + h_n].reshape(m, es[k].shape[-1])
-            y = y + jnp.dot(ee, ae_ref[k, kh_i],
+            q = p + k * dil
+            for kh_i in range(kh):
+                a0 = kh_i * dil   # padded-H slice: out h reads rows h+a0
+                t = jnp.dot(seg(xa_ref, xb_ref, q, a0), ac_ref[k, kh_i],
                             preferred_element_type=jnp.float32)
-    o_ref[0] = y.reshape(h_n, wp_n, rc_out).astype(o_ref.dtype)
+                y = t if y is None else y + t
+                y = y + jnp.dot(seg(ea_ref, eb_ref, q, a0), ae_ref[k, kh_i],
+                                preferred_element_type=jnp.float32)
+        o_ref[0, p] = y.reshape(h_n, wp_n, rc_out).astype(o_ref.dtype)
+
+
+_VMEM_BUDGET = 13 * 2 ** 20
+
+
+def _pick_p(d_n: int, dil: int, hp: int, wp_n: int, rc: int, ke2: int,
+            h_n: int, itemsize: int) -> int:
+    """Largest P (output planes per grid step) fitting the VMEM budget.
+
+    Mosaic double-buffers every non-invariant ref, so the working set is
+    2·(P+2dil)·(plane + edge-plane) + 2·P·out-plane.  More planes per step
+    amortise the 2·dil halo re-read AND cut grid steps (the per-plane grid
+    was measured DMA-bound: nodot 1.23 of full 1.53 ms — r3_pg_variants)."""
+    if env_p := _env_p():
+        return env_p
+    pb = hp * wp_n * rc * itemsize
+    pe = hp * wp_n * ke2 * itemsize
+    po = h_n * wp_n * rc * itemsize
+    acc = h_n * wp_n * rc * 4          # fp32 accumulator, unrolled per plane
+    for p in (8, 4, 2):
+        if p % (2 * dil):
+            continue
+        if 2 * ((p + 2 * dil) * (pb + pe) + p * po) + p * acc <= _VMEM_BUDGET:
+            return p
+    return 2 * dil
+
+
+def _env_p() -> int:
+    import os
+    return int(os.environ.get("NAS3D_PG_P", "0"))
 
 
 def conv_pgemm(xp: Array, wp: Array, *, dilation: int,
@@ -101,6 +137,12 @@ def conv_pgemm(xp: Array, wp: Array, *, dilation: int,
     Returns (B, D, H, Wp, rC_out) in xp.dtype.  Exact up to tap-summation
     order vs the d2 lowering (all taps accumulate in fp32 here; d2 rounds
     to the I/O dtype per kd tap).
+
+    Each grid step computes P output planes from two block views of the
+    SAME padded array: A = the P home planes, B = the next 2·dil halo
+    planes (block index (i·P+P)/(2·dil), integral because 2·dil | P).
+    Relative to the per-plane v1 grid this cuts HBM traffic from 3× to
+    (P+2·dil)/P × the input and the step count by P.
     """
     b, d_n, h_n, wp_n, rc_in = xp.shape
     kd, kh, kp, _, rc_out = wp.shape
@@ -109,24 +151,25 @@ def conv_pgemm(xp: Array, wp: Array, *, dilation: int,
     c = c_in
     n_next, n_prev = _edge_slots(kernel_w, dil, r, pad_w_lo)
     assert n_next and n_prev, (n_next, n_prev)
+    ke2 = (n_next + n_prev) * c
+    hp = h_n + 2 * dil
+
+    p_n = _pick_p(d_n, dil, hp, wp_n, rc_in, ke2, h_n, xp.dtype.itemsize)
+    d_cm = -(-d_n // p_n) * p_n          # padded plane count (P | d_cm)
+    # total plane axis: d_cm home + 2*dil halo, rounded to P for blocking
+    t_pl = -(-(d_cm + 2 * dil) // p_n) * p_n
 
     # ---- XLA-side prep: exactly two padded copies ----
-    # D/H-padded centers: out plane bd reads padded planes bd, bd+dil,
-    # bd+2dil of its batch; H taps read padded rows kh_i*dil + [0, H).
-    x_pp = jnp.pad(xp, ((0, 0), (dil, dil), (dil, dil), (0, 0), (0, 0)))
-    d_pp = d_n + 2 * dil
-    hp = h_n + 2 * dil
-    x_pp = x_pp.reshape(b * d_pp, hp, wp_n, rc_in)
+    x_pp = jnp.pad(xp, ((0, 0), (dil, t_pl - d_n - dil), (dil, dil),
+                        (0, 0), (0, 0)))
 
     # edge operand: live lanes of the +-1-Wp-shifted volume (disjoint
     # contiguous slot ranges), same D/H padding
-    xe_n = jnp.pad(xp[:, :, :, 1:, :n_next * c],
-                   ((0, 0), (dil, dil), (dil, dil), (0, 1), (0, 0)))
+    dpad = ((0, 0), (dil, t_pl - d_n - dil), (dil, dil))
+    xe_n = jnp.pad(xp[:, :, :, 1:, :n_next * c], dpad + ((0, 1), (0, 0)))
     xe_p = jnp.pad(xp[:, :, :, :-1, (r - n_prev) * c:],
-                   ((0, 0), (dil, dil), (dil, dil), (1, 0), (0, 0)))
+                   dpad + ((1, 0), (0, 0)))
     xe = jnp.concatenate([xe_n, xe_p], axis=-1)
-    ke2 = xe.shape[-1]
-    xe = xe.reshape(b * d_pp, hp, wp_n, ke2)
 
     # per-kd tap matrices: centers (o=0 is packed index 1) and the merged
     # edge rows in the operand's lane order [next-lanes | prev-lanes]
@@ -134,52 +177,52 @@ def conv_pgemm(xp: Array, wp: Array, *, dilation: int,
     ae = jnp.concatenate([wp[:, :, 2, :n_next * c],
                           wp[:, :, 0, (r - n_prev) * c:]], axis=2)
 
-    kern = functools.partial(_kernel, h_n=h_n, wp_n=wp_n, dil=dil, kh=kh,
-                             rc_out=rc_out)
+    kern = functools.partial(_kernel, p_n=p_n, h_n=h_n, wp_n=wp_n, dil=dil,
+                             kh=kh, rc_out=rc_out)
 
-    nb = b * d_n
+    h2 = 2 * dil
+    b_idx = p_n // h2
 
-    def center(delta):
-        # padded plane index of out plane bd's kd-tap `delta` in {0, 1, 2}
-        return lambda bd: ((bd // d_n) * d_pp + bd % d_n + delta * dil,
-                           0, 0, 0)
+    def home(ib, i):
+        return (ib, i, 0, 0, 0)
 
-    flops = 2 * nb * h_n * wp_n * (3 * rc_in + 3 * ke2) * rc_out * kh
-    return pl.pallas_call(
+    def halo(ib, i):
+        return (ib, i * b_idx + b_idx, 0, 0, 0)
+
+    flops = 2 * b * d_cm * h_n * wp_n * (3 * rc_in + 3 * ke2) * rc_out * kh
+    y = pl.pallas_call(
         kern,
-        grid=(nb,),
+        grid=(b, d_cm // p_n),
         in_specs=[
-            pl.BlockSpec((1, hp, wp_n, rc_in), center(0),
+            pl.BlockSpec((1, p_n, hp, wp_n, rc_in), home,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, wp_n, rc_in), center(1),
+            pl.BlockSpec((1, h2, hp, wp_n, rc_in), halo,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, wp_n, rc_in), center(2),
+            pl.BlockSpec((1, p_n, hp, wp_n, ke2), home,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, wp_n, ke2), center(0),
+            pl.BlockSpec((1, h2, hp, wp_n, ke2), halo,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, wp_n, ke2), center(1),
+            pl.BlockSpec((3, kh, rc_in, rc_out), lambda ib, i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, wp_n, ke2), center(2),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, kh, rc_in, rc_out), lambda bd: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, kh, ke2, rc_out), lambda bd: (0, 0, 0, 0),
+            pl.BlockSpec((3, kh, ke2, rc_out), lambda ib, i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h_n, wp_n, rc_out),
-                               lambda bd: (bd, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, p_n, h_n, wp_n, rc_out),
+                               lambda ib, i: (ib, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, h_n, wp_n, rc_out), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, d_cm, h_n, wp_n, rc_out),
+                                       xp.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(3 * x_pp.size + 3 * xe.size
-                            + nb * h_n * wp_n * rc_out) * xp.dtype.itemsize,
+            bytes_accessed=int(((1 + h2 / p_n) * (x_pp.size + xe.size)
+                                + b * d_cm * h_n * wp_n * rc_out)
+                               * xp.dtype.itemsize),
             transcendentals=0),
         interpret=interpret,
-    )(x_pp, x_pp, x_pp, xe, xe, xe, ac, ae).reshape(
-        b, d_n, h_n, wp_n, rc_out)
+    )(x_pp, x_pp, xe, xe, ac, ae)
+    return y[:, :d_n]
 
 
 def pgemm_viable(*, stride: int, sp: int, r_in: int, r_out: int,

@@ -196,7 +196,10 @@ class Searcher:
         self.cfg = cfg
         self.sharding = sharding
         sc, dc = cfg.search, cfg.data
-        self.w_tx = optax.adamw(sc.w_lr, weight_decay=sc.w_weight_decay)
+        # flatten: one fused update over the ~100-leaf supernet param tree
+        # instead of per-leaf tiny ops (see train.loop.make_optimizer)
+        self.w_tx = optax.flatten(
+            optax.adamw(sc.w_lr, weight_decay=sc.w_weight_decay))
         self.a_tx = optax.adamw(sc.alpha_lr, weight_decay=sc.alpha_weight_decay)
         aug = (dict(flip_prob=dc.flip_prob, intensity_shift=dc.intensity_shift,
                     intensity_scale=dc.intensity_scale) if device_augment else None)

@@ -42,9 +42,22 @@ class TrainState:
     rng: Array   # PRNG key
 
 
-def make_optimizer(lr: float, weight_decay: float) -> optax.GradientTransformation:
-    """AdamW with the LR exposed as mutable state (for plateau scheduling)."""
-    return optax.inject_hyperparams(optax.adamw)(learning_rate=lr, weight_decay=weight_decay)
+def make_optimizer(lr: float, weight_decay: float,
+                   flat: bool = True) -> optax.GradientTransformation:
+    """AdamW with the LR exposed as mutable state (for plateau scheduling).
+
+    `flat` wraps the update in optax.flatten: the ~100-leaf param pytree is
+    ravelled to ONE vector so the whole AdamW update compiles to a couple of
+    large fusions instead of per-leaf tiny ops (the round-3 step profile
+    counted ~391 sub-0.1 ms ops, a dispatch-bound bucket).  Numerics are
+    unchanged (AdamW is elementwise); only the opt-state pytree shape
+    differs, so checkpoints are not portable across the flag."""
+    def build(learning_rate, weight_decay):
+        tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+        return optax.flatten(tx) if flat else tx
+
+    return optax.inject_hyperparams(build)(learning_rate=lr,
+                                           weight_decay=weight_decay)
 
 
 def get_learning_rate(opt_state) -> float:
