@@ -353,6 +353,102 @@ def _pg_fn(lin: PackedLayout, lout: PackedLayout, w_in: int,
     return f
 
 
+def conv_stats_fused_viable(lin: PackedLayout, lout: PackedLayout,
+                            wp_n: int, dtype, kernel, stride: int,
+                            dilation: int) -> bool:
+    """Static gate for the fused conv+GN-stats Pallas path.
+
+    True when the shift-GEMM kernel covers the geometry (stride-1 same-r 3³
+    with dilation 1/2 always yields kp=3, o_min=−1 for r ≥ 2) AND we are on
+    a real TPU backend (or the interpret-mode test env).  Callers keep the
+    ordinary conv + packed_group_norm path when False — zero graph change.
+    Env kill-switch: NAS3D_FUSED_CONVGN=0."""
+    if _os.environ.get("NAS3D_FUSED_CONVGN", "1") == "0":
+        return False
+    interp = _os.environ.get("NAS3D_PG_INTERPRET", "0") == "1"
+    if jax.default_backend() == "cpu" and not interp:
+        return False
+    if tuple(kernel) != (3, 3, 3) or dilation not in (1, 2):
+        return False
+    if (lin.idx != standard_layout(lin.r, lin.c).idx
+            or lout.idx != standard_layout(lout.r, lout.c).idx):
+        return False
+    from .pallas.pgemm import pgemm_viable
+
+    return pgemm_viable(stride=stride, sp=1, r_in=lin.r, r_out=lout.r,
+                        kd=3, kh=3, kp=3, o_min=-1, wp_n=wp_n, dtype=dtype)
+
+
+def packed_conv_stats(xp: Array, w: Array, lin: PackedLayout,
+                      lout: PackedLayout, *, w_in: int,
+                      kernel: Tuple[int, int, int] = (3, 3, 3),
+                      stride: int = 1, dilation: int = 1):
+    """Packed conv that ALSO returns the GroupNorm raw moments of its
+    output: (y, Σy, Σy²) with the sums (B, rC) fp32 over (D, H, Wp).
+
+    On the fused path (conv_stats_fused_viable) the moments come out of the
+    SAME Pallas op as y — removing one full-volume dependent op (the stats
+    reduce) per ConvNormAct, which on this rig costs ~0.5 ms regardless of
+    size (PERF_NOTES "dependent-op latency floor").  The moments sum the
+    ROUNDED y exactly like the XLA converting-reduce they replace.
+
+    Gradient contract: stats cotangents are IGNORED — the intended consumer
+    is packed_group_norm_from_stats, whose custom VJP returns the complete
+    analytic GN gradient through dy (stats paths folded in); wrap the stats
+    in stop_gradient if routing them anywhere else."""
+    assert conv_stats_fused_viable(lin, lout, xp.shape[3], xp.dtype, kernel,
+                                   stride, dilation)
+    interp = (_os.environ.get("NAS3D_PG_INTERPRET", "0") == "1"
+              and jax.default_backend() == "cpu")
+    return _pg_stats_fn(lin, lout, w_in, tuple(kernel), dilation,
+                        interp)(xp, w)
+
+
+@functools.lru_cache(maxsize=None)
+def _pg_stats_fn(lin: PackedLayout, lout: PackedLayout, w_in: int,
+                 kernel: Tuple[int, int, int], dilation: int,
+                 interpret: bool):
+    """custom-VJP fused conv+stats (see packed_conv_stats; bwd == _pg_fn's,
+    stats cotangents dropped by contract)."""
+    from .pallas.pgemm import conv_pgemm
+
+    kd, kh, kw_sz = kernel
+
+    def fwd_impl(xp, w, lin_, lout_, with_stats):
+        wp, o_min, kp, sp, (plo, phi) = packed_kernel_weights(
+            w, lin_, lout_, w_in=w_in, kernel=kernel, stride=1,
+            dilation=dilation)
+        pad_w_lo = same_pad(w_in, kw_sz, 1, dilation)[0]
+        return conv_pgemm(xp, wp, dilation=dilation, r=lin_.r, c_in=lin_.c,
+                          kernel_w=kw_sz, pad_w_lo=pad_w_lo,
+                          with_stats=with_stats, interpret=interpret)
+
+    @jax.custom_vjp
+    def f(xp, w):
+        return fwd_impl(xp, w, lin, lout, True)
+
+    def f_fwd(xp, w):
+        return fwd_impl(xp, w, lin, lout, True), (xp, w)
+
+    def f_bwd(res, cts):
+        dy, _ds1, _ds2 = cts   # stats cotangents dropped by contract
+        xp, w = res
+        wt = jnp.flip(w, (0, 1, 2)).swapaxes(3, 4)
+        lin_t = standard_layout(lout.r, lout.c)
+        lout_t = standard_layout(lin.r, lin.c)
+        dx = fwd_impl(dy, wt, lin_t, lout_t, False).astype(xp.dtype)
+
+        def ref(ww):
+            return packed_conv(xp, ww, lin, lout, w_in=w_in, kernel=kernel,
+                               stride=1, dilation=dilation, conv_mode="d2")
+
+        (dw,) = jax.linear_transpose(ref, w)(dy)
+        return dx, dw
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def _conv_d_combined(xp: Array, wp: Array, *, kd: int, dilation: int,
                      sp: int, pad_d, pad_h, pad_w, precision) -> Array:
     """All kd depth taps in ONE 2D conv (stride-1 depth only).
@@ -613,12 +709,15 @@ def _gn_core(layout: PackedLayout, groups: int, eps: float,
             # — no fp32 volume is materialized (the old shared-xf form did)
             s1 = jnp.sum(xp, axis=(1, 2, 3), dtype=jnp.float32)      # (B, rC)
             s2 = jnp.sum(jnp.square(xp.astype(jnp.float32)), axis=(1, 2, 3))
+        return _fold_stats(s1, s2, n) + (n,)
+
+    def _fold_stats(s1, s2, n):
         g1 = s1 @ jnp.asarray(fold_g)                                # (B, G)
         g2 = s2 @ jnp.asarray(fold_g)
         mean = g1 / n
         var = g2 / n - mean * mean
         inv = jax.lax.rsqrt(var + eps)
-        return mean, inv, n
+        return mean, inv
 
     def _affine(mean, inv, scale, bias, bshape):
         mean_p = mean[:, pos_group]                 # (B, rC)
@@ -702,7 +801,53 @@ def _gn_core(layout: PackedLayout, groups: int, eps: float,
         return dx, dgamma, dbeta
 
     gn.defvjp(gn_fwd, gn_bwd)
+
+    # ---- external-stats flavor (fused conv+stats producer) ----
+    # Same math, but the raw moments come in precomputed (from the Pallas
+    # conv's fused accumulator).  The VJP returns the COMPLETE analytic GN
+    # gradient through dxp (gn_bwd already folds the stats' dependence on x
+    # into c1/c2), so the stats cotangents are exact zeros.
+
+    @jax.custom_vjp
+    def gn_s(xp, scale, bias, s1, s2):
+        n = xp.shape[1] * xp.shape[2] * xp.shape[3] * r * gsize
+        mean, inv = _fold_stats(s1, s2, n)
+        shp = (xp.shape[0], 1, 1, 1, r * c)
+        a, b = _affine(mean, inv, scale, bias, shp)
+        y = xp * a.astype(xp.dtype) + b.astype(xp.dtype)
+        return jax.nn.relu(y) if relu else y
+
+    def gn_s_fwd(xp, scale, bias, s1, s2):
+        n = xp.shape[1] * xp.shape[2] * xp.shape[3] * r * gsize
+        mean, inv = _fold_stats(s1, s2, n)
+        shp = (xp.shape[0], 1, 1, 1, r * c)
+        a, b = _affine(mean, inv, scale, bias, shp)
+        y = xp * a.astype(xp.dtype) + b.astype(xp.dtype)
+        if relu:
+            y = jax.nn.relu(y)
+        return y, (xp, scale, bias, mean, inv, s1, s2)
+
+    def gn_s_bwd(res, dy):
+        xp, scale, bias, mean, inv, s1, s2 = res
+        dx, dgamma, dbeta = gn_bwd((xp, scale, bias, mean, inv), dy)
+        return dx, dgamma, dbeta, jnp.zeros_like(s1), jnp.zeros_like(s2)
+
+    gn_s.defvjp(gn_s_fwd, gn_s_bwd)
+    gn.from_stats = gn_s
     return gn
+
+
+def packed_group_norm_from_stats(xp: Array, scale: Array, bias: Array,
+                                 s1: Array, s2: Array, groups: int,
+                                 layout: PackedLayout, eps: float = 1e-6,
+                                 relu: bool = False) -> Array:
+    """GroupNorm(+ReLU) on a packed tensor with precomputed raw moments
+    (s1 = Σxp, s2 = Σxp² over (D, H, Wp), (B, rC) fp32 — the exact sums
+    packed_conv_stats emits).  Identical math to packed_group_norm; the
+    full-volume stats reduce op disappears from the graph."""
+    assert layout.c % groups == 0
+    return _gn_core(layout, groups, float(eps),
+                    bool(relu)).from_stats(xp, scale, bias, s1, s2)
 
 
 def packed_group_norm(xp: Array, scale: Array, bias: Array, groups: int,

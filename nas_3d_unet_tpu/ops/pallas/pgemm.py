@@ -71,8 +71,9 @@ def _edge_slots(kernel_w: int, dilation: int, r: int, pad_lo: int):
     return n_next, n_prev
 
 
-def _kernel(xa_ref, xb_ref, ea_ref, eb_ref, ac_ref, ae_ref, o_ref, *,
-            p_n: int, h_n: int, wp_n: int, dil: int, kh: int, rc_out: int):
+def _kernel(xa_ref, xb_ref, ea_ref, eb_ref, ac_ref, ae_ref, o_ref, *rest,
+            p_n: int, h_n: int, wp_n: int, dil: int, kh: int, rc_out: int,
+            n_valid: int, stats: bool):
     m = h_n * wp_n
 
     def seg(ref_a, ref_b, q, a0):
@@ -83,6 +84,7 @@ def _kernel(xa_ref, xb_ref, ea_ref, eb_ref, ac_ref, ae_ref, o_ref, *,
             v = ref_b[0, q - p_n, a0:a0 + h_n]
         return v.reshape(m, v.shape[-1])
 
+    s1 = s2 = None
     for p in range(p_n):
         y = None
         for k in range(3):
@@ -94,7 +96,33 @@ def _kernel(xa_ref, xb_ref, ea_ref, eb_ref, ac_ref, ae_ref, o_ref, *,
                 y = t if y is None else y + t
                 y = y + jnp.dot(seg(ea_ref, eb_ref, q, a0), ae_ref[k, kh_i],
                                 preferred_element_type=jnp.float32)
-        o_ref[0, p] = y.reshape(h_n, wp_n, rc_out).astype(o_ref.dtype)
+        yb = y.astype(o_ref.dtype)
+        o_ref[0, p] = yb.reshape(h_n, wp_n, rc_out)
+        if stats:
+            # GroupNorm raw moments of the ROUNDED output (matches the XLA
+            # converting-reduce path bit-for-bit in what it sums), masked to
+            # the valid planes (d_n may be padded up to a multiple of P)
+            i = pl.program_id(1)
+            yf = yb.astype(jnp.float32)
+            valid = (i * p_n + p < n_valid)
+            yf = jnp.where(valid, yf, 0.0)
+            p1 = jnp.sum(yf, axis=0)
+            p2 = jnp.sum(yf * yf, axis=0)
+            s1 = p1 if s1 is None else s1 + p1
+            s2 = p2 if s2 is None else s2 + p2
+    if stats:
+        s_ref = rest[0]
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _init():
+            s_ref[0, 0] = s1
+            s_ref[0, 1] = s2
+
+        @pl.when(i > 0)
+        def _acc():
+            s_ref[0, 0] += s1
+            s_ref[0, 1] += s2
 
 
 _VMEM_BUDGET = 13 * 2 ** 20
@@ -129,7 +157,7 @@ def _env_p() -> int:
 
 def conv_pgemm(xp: Array, wp: Array, *, dilation: int,
                r: int, c_in: int, kernel_w: int, pad_w_lo: int,
-               interpret: bool = False) -> Array:
+               with_stats: bool = False, interpret: bool = False):
     """Stride-1 packed conv as a shift-GEMM Pallas kernel.
 
     xp: (B, D, H, Wp, rC_in) packed activations (standard layout).
@@ -178,7 +206,8 @@ def conv_pgemm(xp: Array, wp: Array, *, dilation: int,
                           wp[:, :, 0, (r - n_prev) * c:]], axis=2)
 
     kern = functools.partial(_kernel, p_n=p_n, h_n=h_n, wp_n=wp_n, dil=dil,
-                             kh=kh, rc_out=rc_out)
+                             kh=kh, rc_out=rc_out, n_valid=d_n,
+                             stats=with_stats)
 
     h2 = 2 * dil
     b_idx = p_n // h2
@@ -189,8 +218,21 @@ def conv_pgemm(xp: Array, wp: Array, *, dilation: int,
     def halo(ib, i):
         return (ib, i * b_idx + b_idx, 0, 0, 0)
 
+    out_specs = [pl.BlockSpec((1, p_n, h_n, wp_n, rc_out),
+                              lambda ib, i: (ib, i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((b, d_cm, h_n, wp_n, rc_out),
+                                       xp.dtype)]
+    if with_stats:
+        # raw GN moments (Σy, Σy²) accumulated across grid steps in a
+        # constant-index revisit block (fp32, fused into the conv op)
+        out_specs.append(pl.BlockSpec((1, 2, rc_out),
+                                      lambda ib, i: (ib, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((b, 2, rc_out), jnp.float32))
+
     flops = 2 * b * d_cm * h_n * wp_n * (3 * rc_in + 3 * ke2) * rc_out * kh
-    y = pl.pallas_call(
+    res = pl.pallas_call(
         kern,
         grid=(b, d_cm // p_n),
         in_specs=[
@@ -207,11 +249,8 @@ def conv_pgemm(xp: Array, wp: Array, *, dilation: int,
             pl.BlockSpec((3, kh, ke2, rc_out), lambda ib, i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, p_n, h_n, wp_n, rc_out),
-                               lambda ib, i: (ib, i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, d_cm, h_n, wp_n, rc_out),
-                                       xp.dtype),
+        out_specs=out_specs if with_stats else out_specs[0],
+        out_shape=out_shapes if with_stats else out_shapes[0],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -222,7 +261,10 @@ def conv_pgemm(xp: Array, wp: Array, *, dilation: int,
             transcendentals=0),
         interpret=interpret,
     )(x_pp, x_pp, xe, xe, ac, ae)
-    return y[:, :d_n]
+    if with_stats:
+        y, s = res
+        return y[:, :d_n], s[:, 0], s[:, 1]
+    return res[:, :d_n]
 
 
 def pgemm_viable(*, stride: int, sp: int, r_in: int, r_out: int,

@@ -33,10 +33,13 @@ from flax import linen as nn
 
 from .packed import (
     PX,
+    conv_stats_fused_viable,
     packed_avg_pool3,
     packed_conv,
+    packed_conv_stats,
     packed_depthwise3,
     packed_group_norm,
+    packed_group_norm_from_stats,
     packed_max_pool3,
     packed_resize2x,
     packed_transpose2x,
@@ -77,13 +80,19 @@ class PackedGroupNormMod(nn.Module):
     relu: bool = False
 
     @nn.compact
-    def __call__(self, x: PX) -> PX:
+    def __call__(self, x: PX, s1=None, s2=None) -> PX:
         c = x.layout.c
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        y = packed_group_norm(x.data.astype(self.dtype), scale, bias,
-                              self.num_groups, x.layout, self.epsilon,
-                              self.relu)
+        if s1 is not None:
+            # raw moments precomputed by the fused conv+stats producer
+            y = packed_group_norm_from_stats(
+                x.data.astype(self.dtype), scale, bias, s1, s2,
+                self.num_groups, x.layout, self.epsilon, self.relu)
+        else:
+            y = packed_group_norm(x.data.astype(self.dtype), scale, bias,
+                                  self.num_groups, x.layout, self.epsilon,
+                                  self.relu)
         return PX(y, x.layout, x.w_in)
 
 
@@ -180,14 +189,23 @@ class PackedConvK(nn.Module):
     dilation: int = 1
     dtype: jnp.dtype = jnp.float32
     use_bias: bool = False
+    stats: bool = False   # also return GN raw moments (fused Pallas path)
 
     @nn.compact
-    def __call__(self, x: PX) -> PX:
+    def __call__(self, x: PX):
         cin = x.layout.c
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (self.kernel,) * 3 + (cin, self.features), jnp.float32)
         r_out = x.layout.r if self.stride == 1 else max(1, x.layout.r // 2)
         lout = standard_layout(r_out, self.features)
+        w_out = -(-x.w_in // self.stride)
+        if self.stats:
+            assert not self.use_bias
+            y, s1, s2 = packed_conv_stats(
+                x.data.astype(self.dtype), w.astype(self.dtype), x.layout,
+                lout, w_in=x.w_in, kernel=(self.kernel,) * 3,
+                stride=self.stride, dilation=self.dilation)
+            return PX(y, lout, w_out), s1, s2
         y = packed_conv(x.data.astype(self.dtype), w.astype(self.dtype),
                         x.layout, lout, w_in=x.w_in,
                         kernel=(self.kernel,) * 3, stride=self.stride,
@@ -196,7 +214,6 @@ class PackedConvK(nn.Module):
             b = self.param("bias", nn.initializers.zeros, (self.features,),
                            jnp.float32)
             y = y + jnp.tile(b, r_out).astype(y.dtype)   # standard layout
-        w_out = -(-x.w_in // self.stride)
         return PX(y, lout, w_out)
 
 
@@ -238,10 +255,23 @@ class ConvNormAct(nn.Module):
         # all branches name the module "conv" with param "kernel", so the
         # checkpoint pytree is identical whichever path a config picks
         packed = isinstance(x, PX)
+        s1 = s2 = None
         if packed:
             assert self.groups == 1, "grouped ConvNormAct has no packed path"
-            x = PackedConvK(self.features, self.kernel, self.stride,
-                            self.dilation, self.dtype, name="conv")(x)
+            r_out = x.layout.r if self.stride == 1 else max(1, x.layout.r // 2)
+            fuse_stats = (
+                self.norm in ("group", "instance")
+                and conv_stats_fused_viable(
+                    x.layout, standard_layout(r_out, self.features),
+                    x.shape[3], jnp.dtype(self.dtype), (self.kernel,) * 3,
+                    self.stride, self.dilation))
+            conv = PackedConvK(self.features, self.kernel, self.stride,
+                               self.dilation, self.dtype, stats=fuse_stats,
+                               name="conv")
+            if fuse_stats:
+                x, s1, s2 = conv(x)
+            else:
+                x = conv(x)
         elif self.use_pallas and self.kernel == 3 and self.groups == 1:
             x = PallasConv3(self.features, self.stride, self.dilation,
                             self.dtype, name="conv")(x)
@@ -261,7 +291,7 @@ class ConvNormAct(nn.Module):
         norm_mod, relu_fused = _norm(self.norm, self.gn_groups, self.dtype,
                                      self.use_pallas)(self.features, packed,
                                                       relu=self.act)
-        x = norm_mod(x)
+        x = norm_mod(x, s1, s2) if s1 is not None else norm_mod(x)
         if self.act and not relu_fused:
             x = PX(nn.relu(x.data), x.layout, x.w_in) if packed else nn.relu(x)
         return x
