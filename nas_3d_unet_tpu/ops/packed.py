@@ -355,7 +355,8 @@ def _pg_fn(lin: PackedLayout, lout: PackedLayout, w_in: int,
 
 def conv_stats_fused_viable(lin: PackedLayout, lout: PackedLayout,
                             wp_n: int, dtype, kernel, stride: int,
-                            dilation: int) -> bool:
+                            dilation: int, h_n: int = 0,
+                            w_in: int = 0) -> bool:
     """Static gate for the fused conv+GN-stats Pallas path.
 
     True when the shift-GEMM kernel covers the geometry (stride-1 same-r 3³
@@ -368,15 +369,29 @@ def conv_stats_fused_viable(lin: PackedLayout, lout: PackedLayout,
     interp = _os.environ.get("NAS3D_PG_INTERPRET", "0") == "1"
     if jax.default_backend() == "cpu" and not interp:
         return False
-    if tuple(kernel) != (3, 3, 3) or dilation not in (1, 2):
-        return False
     if (lin.idx != standard_layout(lin.r, lin.c).idx
             or lout.idx != standard_layout(lout.r, lout.c).idx):
         return False
-    from .pallas.pgemm import pgemm_viable
+    if tuple(kernel) == (1, 1, 1):
+        # pure lane mix: a Pallas GEMM with a stats epilogue (any r)
+        return stride == 1 and lin.r == lout.r
+    if tuple(kernel) != (3, 3, 3) or dilation not in (1, 2):
+        return False
+    from .pallas.pgemm import _edge_slots, pg_vmem_feasible, pgemm_viable
 
-    return pgemm_viable(stride=stride, sp=1, r_in=lin.r, r_out=lout.r,
-                        kd=3, kh=3, kp=3, o_min=-1, wp_n=wp_n, dtype=dtype)
+    if not pgemm_viable(stride=stride, sp=1, r_in=lin.r, r_out=lout.r,
+                        kd=3, kh=3, kp=3, o_min=-1, wp_n=wp_n, dtype=dtype):
+        return False
+    if h_n and w_in:
+        # wide merged convs (rC_out = k·r·C) can exceed scoped VMEM even at
+        # the minimal plane-block count — gate on the estimate
+        pad_lo = same_pad(w_in, kernel[2], 1, dilation)[0]
+        n_next, n_prev = _edge_slots(kernel[2], dilation, lin.r, pad_lo)
+        return pg_vmem_feasible(
+            dil=dilation, hp=h_n + 2 * dilation, wp_n=wp_n,
+            rc=lin.r * lin.c, ke2=(n_next + n_prev) * lin.c, h_n=h_n,
+            itemsize=jnp.dtype(dtype).itemsize, rc_out=lout.r * lout.c)
+    return True
 
 
 def packed_conv_stats(xp: Array, w: Array, lin: PackedLayout,
@@ -400,8 +415,51 @@ def packed_conv_stats(xp: Array, w: Array, lin: PackedLayout,
                                    stride, dilation)
     interp = (_os.environ.get("NAS3D_PG_INTERPRET", "0") == "1"
               and jax.default_backend() == "cpu")
+    if tuple(kernel) == (1, 1, 1):
+        return _gemm_stats_fn(lin, lout, w_in, interp)(xp, w)
     return _pg_stats_fn(lin, lout, w_in, tuple(kernel), dilation,
                         interp)(xp, w)
+
+
+@functools.lru_cache(maxsize=None)
+def _gemm_stats_fn(lin: PackedLayout, lout: PackedLayout, w_in: int,
+                   interpret: bool):
+    """custom-VJP fused 1³-conv+stats: one Pallas GEMM emits y and its GN
+    raw moments.  bwd: dx/dW are plain MXU matmul contractions (exactly the
+    dot_general-lowering gradients packed_conv's 1³ path produces)."""
+    from .pallas.pgemm import gemm_stats
+
+    def w2_of(w):
+        wp, _o, _kp, _sp, _pads = packed_kernel_weights(
+            w, lin, lout, w_in=w_in, kernel=(1, 1, 1), stride=1, dilation=1)
+        return wp.reshape(wp.shape[3], wp.shape[4])
+
+    @jax.custom_vjp
+    def f(xp, w):
+        b = xp.shape[0]
+        x3 = xp.reshape(b, -1, xp.shape[-1])
+        y, s1, s2 = gemm_stats(x3, w2_of(w).astype(xp.dtype),
+                               interpret=interpret)
+        return y.reshape(xp.shape[:-1] + (s1.shape[-1],)), s1, s2
+
+    def f_fwd(xp, w):
+        return f(xp, w), (xp, w)
+
+    def f_bwd(res, cts):
+        dy, _ds1, _ds2 = cts   # stats cotangents dropped by contract
+        xp, w = res
+
+        def ref(xx, ww):
+            w2 = w2_of(ww).astype(xp.dtype)
+            return jax.lax.dot_general(
+                xx, w2, (((4,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(xp.dtype)
+
+        _, vjp = jax.vjp(ref, xp, w)
+        return vjp(dy)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
 
 
 @functools.lru_cache(maxsize=None)

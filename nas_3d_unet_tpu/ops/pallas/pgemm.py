@@ -126,10 +126,11 @@ def _kernel(xa_ref, xb_ref, ea_ref, eb_ref, ac_ref, ae_ref, o_ref, *rest,
 
 
 _VMEM_BUDGET = 13 * 2 ** 20
+_VMEM_HARD = 15 * 2 ** 20
 
 
 def _pick_p(d_n: int, dil: int, hp: int, wp_n: int, rc: int, ke2: int,
-            h_n: int, itemsize: int) -> int:
+            h_n: int, itemsize: int, rc_out: int) -> int:
     """Largest P (output planes per grid step) fitting the VMEM budget.
 
     Mosaic double-buffers every non-invariant ref, so the working set is
@@ -138,16 +139,31 @@ def _pick_p(d_n: int, dil: int, hp: int, wp_n: int, rc: int, ke2: int,
     was measured DMA-bound: nodot 1.23 of full 1.53 ms — r3_pg_variants)."""
     if env_p := _env_p():
         return env_p
-    pb = hp * wp_n * rc * itemsize
-    pe = hp * wp_n * ke2 * itemsize
-    po = h_n * wp_n * rc * itemsize
-    acc = h_n * wp_n * rc * 4          # fp32 accumulator, unrolled per plane
     for p in (8, 4, 2):
-        if p % (2 * dil):
-            continue
-        if 2 * ((p + 2 * dil) * (pb + pe) + p * po) + p * acc <= _VMEM_BUDGET:
+        if p % (2 * dil) == 0 and _vmem_est(
+                p, dil, hp, wp_n, rc, ke2, h_n, itemsize,
+                rc_out) <= _VMEM_BUDGET:
             return p
     return 2 * dil
+
+
+def _vmem_est(p: int, dil: int, hp: int, wp_n: int, rc: int, ke2: int,
+              h_n: int, itemsize: int, rc_out: int) -> int:
+    # VMEM stores lane-padded tiles: the minor dim rounds up to 128 lanes
+    # (the stem's rc_in=32 operand occupies 4x its logical bytes)
+    lp = lambda n: -(-n // 128) * 128
+    pb = hp * wp_n * lp(rc) * itemsize
+    pe = hp * wp_n * lp(ke2) * itemsize
+    po = h_n * wp_n * lp(rc_out) * itemsize
+    acc = h_n * wp_n * lp(rc_out) * 4  # fp32 accumulator, unrolled per plane
+    return 2 * ((p + 2 * dil) * (pb + pe) + p * po) + p * acc
+
+
+def pg_vmem_feasible(*, dil: int, hp: int, wp_n: int, rc: int, ke2: int,
+                     h_n: int, itemsize: int, rc_out: int) -> bool:
+    """Can even the minimal plane-block count fit scoped VMEM?"""
+    return _vmem_est(2 * dil, dil, hp, wp_n, rc, ke2, h_n, itemsize,
+                     rc_out) <= _VMEM_HARD
 
 
 def _env_p() -> int:
@@ -182,7 +198,8 @@ def conv_pgemm(xp: Array, wp: Array, *, dilation: int,
     ke2 = (n_next + n_prev) * c
     hp = h_n + 2 * dil
 
-    p_n = _pick_p(d_n, dil, hp, wp_n, rc_in, ke2, h_n, xp.dtype.itemsize)
+    p_n = _pick_p(d_n, dil, hp, wp_n, rc_in, ke2, h_n, xp.dtype.itemsize,
+                  rc_out)
     d_cm = -(-d_n // p_n) * p_n          # padded plane count (P | d_cm)
     # total plane axis: d_cm home + 2*dil halo, rounded to P for blocking
     t_pl = -(-(d_cm + 2 * dil) // p_n) * p_n
@@ -265,6 +282,77 @@ def conv_pgemm(xp: Array, wp: Array, *, dilation: int,
         y, s = res
         return y[:, :d_n], s[:, 0], s[:, 1]
     return res[:, :d_n]
+
+
+def _gemm_kernel(x_ref, w_ref, o_ref, s_ref, *, n_rows: int, rows_pb: int):
+    y = jnp.dot(x_ref[0], w_ref[...], preferred_element_type=jnp.float32)
+    yb = y.astype(o_ref.dtype)
+    o_ref[0] = yb
+    i = pl.program_id(1)
+    yf = yb.astype(jnp.float32)
+    if n_rows % rows_pb:
+        # mask the tail block's padding rows out of the moments
+        row = i * rows_pb + jax.lax.broadcasted_iota(jnp.int32, yf.shape, 0)
+        yf = jnp.where(row < n_rows, yf, 0.0)
+    p1 = jnp.sum(yf, axis=0)
+    p2 = jnp.sum(yf * yf, axis=0)
+
+    @pl.when(i == 0)
+    def _init():
+        s_ref[0, 0] = p1
+        s_ref[0, 1] = p2
+
+    @pl.when(i > 0)
+    def _acc():
+        s_ref[0, 0] += p1
+        s_ref[0, 1] += p2
+
+
+def gemm_stats(x3: Array, w2: Array, *, rows_pb: int = 2048,
+               interpret: bool = False):
+    """y = x3 @ w2 as a Pallas GEMM that ALSO emits GroupNorm raw moments
+    of the rounded output: (y, Σy, Σy²), sums (B, N) fp32 over each
+    batch's rows.
+
+    x3: (B, V, K); w2: (K, N) — the packed 1³ conv (pure lane mix)
+    collapsed over voxels.  One op replaces dot_general + the stats
+    reduce: on this rig a dependent full-volume op costs ~0.5 ms
+    regardless of size (PERF_NOTES "dependent-op latency floor"), so
+    fusing the reduce into the GEMM's epilogue is worth more than its
+    bytes."""
+    b, m, k = x3.shape
+    k2, n = w2.shape
+    assert k == k2
+    m_cm = -(-m // rows_pb) * rows_pb
+    if m_cm != m:
+        x3 = jnp.pad(x3, ((0, 0), (0, m_cm - m), (0, 0)))
+    kern = functools.partial(_gemm_kernel, n_rows=m, rows_pb=rows_pb)
+    y, s = pl.pallas_call(
+        kern,
+        grid=(b, m_cm // rows_pb),
+        in_specs=[
+            pl.BlockSpec((1, rows_pb, k), lambda ib, i: (ib, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda ib, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows_pb, n), lambda ib, i: (ib, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n), lambda ib, i: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, m_cm, n), x3.dtype),
+                   jax.ShapeDtypeStruct((b, 2, n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * m_cm * k * n,
+            bytes_accessed=(x3.size + b * m_cm * n) * x3.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x3, w2)
+    return y[:, :m], s[:, 0], s[:, 1]
 
 
 def pgemm_viable(*, stride: int, sp: int, r_in: int, r_out: int,

@@ -264,7 +264,8 @@ class ConvNormAct(nn.Module):
                 and conv_stats_fused_viable(
                     x.layout, standard_layout(r_out, self.features),
                     x.shape[3], jnp.dtype(self.dtype), (self.kernel,) * 3,
-                    self.stride, self.dilation))
+                    self.stride, self.dilation, h_n=x.shape[2],
+                    w_in=x.w_in))
             conv = PackedConvK(self.features, self.kernel, self.stride,
                                self.dilation, self.dtype, stats=fuse_stats,
                                name="conv")
