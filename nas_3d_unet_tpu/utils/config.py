@@ -64,10 +64,12 @@ class ModelConfig:
     n_nodes: int = 3                          # intermediate nodes per cell
     norm: str = "group"                       # "group" | "instance" | "none"
     gn_groups: int = 8
-    remat: bool = True                        # jax.checkpoint per cell
-    # supernet edge-level remat; None follows `remat`.  Packed 64-cubed
-    # searches fit HBM with remat off entirely (model.remat=false, 6.9x
-    # faster); 128-cubed needs edge remat.
+    remat: bool = False                       # jax.checkpoint per cell
+    # Packed execution fits 128-cubed searches AND derived training in HBM
+    # with remat fully off (round 3: search 0.93 s/step vs 1.30 with cell
+    # remat).  Set remat=true for larger bases/patches; `remat_edges`
+    # (supernet edge-level remat, None follows `remat`) caps peak memory
+    # further when cells alone do not fit.
     remat_edges: bool | None = None
     # compute dtype for activations; params/accum stay fp32
     dtype: str = "bfloat16"

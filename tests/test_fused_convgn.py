@@ -31,6 +31,9 @@ from nas_3d_unet_tpu.ops.primitives import ConvNormAct
 @pytest.fixture(autouse=True)
 def _interp(monkeypatch):
     monkeypatch.setenv("NAS3D_PG_INTERPRET", "1")
+    # default-off (measured 2% step regression on this jaxlib); the tests
+    # exercise the path explicitly
+    monkeypatch.setenv("NAS3D_FUSED_CONVGN", "1")
 
 
 def _mk(r, c, w, dn=8, hn=8, seed=0):
