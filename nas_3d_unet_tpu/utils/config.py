@@ -73,7 +73,11 @@ class ModelConfig:
     remat_edges: bool | None = None
     # compute dtype for activations; params/accum stay fp32
     dtype: str = "bfloat16"
-    use_pallas: bool = False                  # Pallas kernels vs lax reference path
+    # Pallas kernels vs lax reference path.  MEASURED SLOWER end-to-end on
+    # this jaxlib (853 vs 477 ms/step round 1; pallas DMA maxes at ~250 GB/s
+    # vs XLA's ~1 TB/s streaming — PERF_NOTES.md round-3 DMA probe): keep
+    # False except for kernel testing / re-evaluation on newer toolchains.
+    use_pallas: bool = False
     merge_ops: bool = True                    # exact op merging in derived cells
     # lane-packed execution (ops/packed.py): the measured-fastest path on
     # TPU (3.8× round 1 on the derived step); ~parity on CPU
