@@ -116,7 +116,8 @@ def bench_train() -> float:
 
 def bench_search() -> float:
     """configs[3]: bilevel search step seconds at 128³ (packed + merged,
-    cell remat only — the recommended config, PERF_NOTES round 2)."""
+    remat fully off — fits HBM and is the shipped default since round 3:
+    0.934 s/step vs 1.305 with cell remat, PERF_NOTES round 3)."""
     from nas_3d_unet_tpu.models.genotype import init_alphas
     from nas_3d_unet_tpu.models.unet import SuperNet, arch_weights_from_alphas
     from nas_3d_unet_tpu.search.bilevel import SearchState, make_search_step
@@ -127,7 +128,7 @@ def bench_search() -> float:
     iters = int(os.environ.get("BENCH_SEARCH_ITERS", "5"))
 
     net = SuperNet(in_channels=4, num_classes=3, base_channels=16, depth=3,
-                   n_nodes=3, gn_groups=8, norm="group", remat=True,
+                   n_nodes=3, gn_groups=8, norm="group", remat=False,
                    remat_edges=False, dtype_name="bfloat16", packed=True,
                    unpack_head=False)
     w_tx = optax.adamw(3e-4, weight_decay=1e-4)

@@ -51,6 +51,14 @@ def main():
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.asarray(0, jnp.int32), rng=jax.random.PRNGKey(1))
 
+    # XLA_OPT="k=v,k2=v2" → per-jit compiler options (these ride the PJRT
+    # compile request, so they reach the axon REMOTE compiler — env XLA_FLAGS
+    # may not be forwarded there).
+    if os.environ.get("XLA_OPT"):
+        opts = dict(kv.split("=", 1) for kv in os.environ["XLA_OPT"].split(","))
+        step = step.lower(state, x, y).compile(compiler_options=opts)
+        print(json.dumps({"compiler_options": opts}))
+
     dt, state = time_step_chain(step, state, x, y, iters=8, warmup=3)
     print(json.dumps({"ms_per_step": round(dt * 1e3, 2),
                       "patches_per_sec": round(batch / dt, 3)}))

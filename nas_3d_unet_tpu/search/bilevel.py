@@ -231,7 +231,10 @@ class Searcher:
         # CURRENT architecture weights frozen (reference `Searching.validate`,
         # SURVEY.md §2 "Search driver")
         self.eval_step = make_eval_step(_super_apply, label_mode=dc.label_mode)
-        self.logger = MetricsLogger(log_path)
+        self.logger = MetricsLogger(
+            log_path,
+            tb_dir=(os.path.join(sc.checkpoint_dir, "tb")
+                    if getattr(sc, "tensorboard", False) else None))
 
         # the search splits its data into a w-part and an α-part
         w_paths, a_paths = split_patients(data_paths, dc.val_fraction, dc.seed)

@@ -181,7 +181,10 @@ class Trainer:
                                           label_mode=dc.label_mode)
         self.eval_step = make_eval_step(net.apply, label_mode=dc.label_mode)
         self.plateau = PlateauController(tc.lr_patience, tc.lr_factor, tc.min_lr)
-        self.logger = MetricsLogger(log_path)
+        self.logger = MetricsLogger(
+            log_path,
+            tb_dir=(os.path.join(tc.checkpoint_dir, "tb")
+                    if getattr(tc, "tensorboard", False) else None))
         self.host_augment = not device_augment
 
         train_paths, val_paths = split_patients(data_paths, dc.val_fraction, dc.seed)

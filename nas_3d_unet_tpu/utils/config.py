@@ -104,6 +104,7 @@ class SearchConfig:
     val_steps: int = 8                        # α-split eval batches per epoch
     checkpoint_dir: str = "ckpt/search"
     checkpoint_every: int = 1                 # epochs
+    tensorboard: bool = False                 # mirror metrics to <ckpt>/tb
     seed: int = 0
 
 
@@ -121,6 +122,7 @@ class TrainConfig:
     checkpoint_dir: str = "ckpt/train"
     checkpoint_every: int = 1
     genotype_path: str = "ckpt/search/genotype.json"
+    tensorboard: bool = False                 # mirror metrics to <ckpt>/tb
     seed: int = 0
 
 

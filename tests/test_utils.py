@@ -23,6 +23,28 @@ def test_metrics_logger_jsonl(tmp_path):
     assert "t" in lines[0]
 
 
+def test_metrics_logger_tensorboard_mirror(tmp_path):
+    """SURVEY.md §5 metrics row: JSONL + optional TensorBoard mirror.
+
+    Round-trips the scalars through the event files (not just existence):
+    tags are <event>/<field>, step comes from the record."""
+    tf = pytest.importorskip("tensorflow")
+    tb_dir = str(tmp_path / "tb")
+    log = MetricsLogger(str(tmp_path / "m.jsonl"), stdout=False, tb_dir=tb_dir)
+    log.log(event="epoch", step=3, loss=1.25, note="skipped-non-numeric")
+    log.close()
+
+    seen = {}
+    for ev_file in os.listdir(tb_dir):
+        for raw in tf.data.TFRecordDataset(os.path.join(tb_dir, ev_file)):
+            ev = tf.compat.v1.Event.FromString(raw.numpy())
+            for v in ev.summary.value:
+                seen[v.tag] = (ev.step, tf.make_ndarray(v.tensor).item()
+                               if v.HasField("tensor") else v.simple_value)
+    assert seen["epoch/loss"] == (3, 1.25)
+    assert not any(tag.endswith("/note") for tag in seen)
+
+
 def test_time_fn_and_fence():
     f = jax.jit(lambda x: x * 2 + 1)
     dt, out = time_fn(f, jnp.ones((8, 8)), iters=3, warmup=1)
