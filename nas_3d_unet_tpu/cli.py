@@ -131,9 +131,11 @@ def cmd_predict(args) -> int:
         genotype = Genotype.load(cfg.train.genotype_path)
     else:
         genotype = default_genotype(cfg.model.n_nodes)
-    # inference in fp32 for the bit-for-bit stitching contract
+    # fp32 body by default (the bit-for-bit stitching contract); bf16 body
+    # is the opt-in ~2x speed mode (infer.dtype) — head/logits/stitch stay
+    # fp32 either way (models/unet.py fp32 head)
     net = make_derived(cfg.model, cfg.data.num_classes, genotype,
-                       dtype_override="float32")
+                       dtype_override=cfg.infer.dtype)
 
     ckpt_dir = cfg.infer.checkpoint_dir
     best = os.path.join(ckpt_dir, "best.msgpack")

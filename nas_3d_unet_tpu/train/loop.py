@@ -70,19 +70,12 @@ def set_learning_rate(opt_state, lr: float):
     return opt_state._replace(hyperparams=hp)
 
 
-def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
-                    augment: Optional[dict] = None, label_mode: str = "regions"):
-    """Build the jitted train step: (state, x, y) → (state, metrics).
-
-    `augment`: None, or dict(flip_prob=…, intensity_shift=…, intensity_scale=…)
-    to fold device-side augmentation into the graph.
-    `label_mode`: "regions" (y = (B,D,H,W,3) one-hots, sigmoid loss) or
-    "classes" (y = (B,D,H,W) int indices, softmax loss).
-    """
+def _make_step_body(apply_fn: Callable, tx: optax.GradientTransformation,
+                    augment: Optional[dict], label_mode: str):
+    """The un-jitted step body shared by the single-step and scan drivers."""
     compute_loss = get_loss_fn(label_mode)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, x: Array, y: Array) -> Tuple[TrainState, Dict[str, Array]]:
+    def body(state: TrainState, x: Array, y: Array) -> Tuple[TrainState, Array]:
         rng, k_aug = jax.random.split(state.rng)
         if augment is not None:
             x, y = augment_batch(k_aug, x, y, **augment)
@@ -96,9 +89,56 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state,
                                step=state.step + 1, rng=rng)
-        return new_state, {"loss": loss}
+        return new_state, loss
+
+    return body
+
+
+def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
+                    augment: Optional[dict] = None, label_mode: str = "regions"):
+    """Build the jitted train step: (state, x, y) → (state, metrics).
+
+    `augment`: None, or dict(flip_prob=…, intensity_shift=…, intensity_scale=…)
+    to fold device-side augmentation into the graph.
+    `label_mode`: "regions" (y = (B,D,H,W,3) one-hots, sigmoid loss) or
+    "classes" (y = (B,D,H,W) int indices, softmax loss).
+    """
+    body = _make_step_body(apply_fn, tx, augment, label_mode)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, x: Array, y: Array) -> Tuple[TrainState, Dict[str, Array]]:
+        state, loss = body(state, x, y)
+        return state, {"loss": loss}
 
     return train_step
+
+
+def make_train_step_n(apply_fn: Callable, tx: optax.GradientTransformation,
+                      augment: Optional[dict] = None, label_mode: str = "regions"):
+    """Device-side step loop: ONE dispatch runs n train steps via lax.scan.
+
+    (state, xs, ys) → (state, {"loss": (n,)}) where xs/ys carry a leading
+    step axis.  Each scan iteration is bitwise the single-step body (same
+    RNG split chain), so n scanned steps == n sequential `make_train_step`
+    calls; the win is dispatch amortization — on the axon remote platform
+    each dispatch pays a ~1–4 ms relay gap (PERF_NOTES: 92.07 ms wall vs
+    88.15 ms device span at round 3), which a multi-step call pays once per
+    n steps instead of once per step.  The n staged input batches cost
+    n·(patch³·(in+K)·4B) HBM (~15 MB each at 128³) — negligible next to
+    activations.
+    """
+    body = _make_step_body(apply_fn, tx, augment, label_mode)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step_n(state: TrainState, xs: Array, ys: Array) -> Tuple[TrainState, Dict[str, Array]]:
+        def scan_body(st, xy):
+            st, loss = body(st, *xy)
+            return st, loss
+
+        state, losses = jax.lax.scan(scan_body, state, (xs, ys))
+        return state, {"loss": losses}
+
+    return train_step_n
 
 
 def make_eval_step(apply_fn: Callable, threshold: float = 0.5,
@@ -177,6 +217,11 @@ class Trainer:
         if (getattr(net, "packed", False) and dc.label_mode == "regions"
                 and getattr(net, "unpack_head", True)):
             train_net = net.clone(unpack_head=False)
+        self.steps_per_call = max(1, int(getattr(tc, "steps_per_call", 1)))
+        if self.steps_per_call > 1:
+            self.train_step_n = make_train_step_n(train_net.apply, self.tx,
+                                                  augment=aug,
+                                                  label_mode=dc.label_mode)
         self.train_step = make_train_step(train_net.apply, self.tx, augment=aug,
                                           label_mode=dc.label_mode)
         self.eval_step = make_eval_step(net.apply, label_mode=dc.label_mode)
@@ -235,6 +280,14 @@ class Trainer:
         epochs = epochs if epochs is not None else tc.epochs
         steps_per_epoch = steps_per_epoch if steps_per_epoch is not None else tc.steps_per_epoch
 
+        n_call = self.steps_per_call
+        if steps_per_epoch % n_call != 0:
+            raise ValueError(
+                f"train.steps_per_call={n_call} must divide "
+                f"steps_per_epoch={steps_per_epoch} (the multi-step scan "
+                "graph has a fixed step count; a remainder would compile a "
+                "second graph — minutes per cold axon compile)")
+
         state = self.resume_or_init(jax.random.PRNGKey(tc.seed))
         self.logger.log(event="model", params=count_params(state.params))
         start_epoch = int(state.step) // steps_per_epoch
@@ -244,10 +297,20 @@ class Trainer:
             for epoch in range(start_epoch, epochs):
                 t0 = time.perf_counter()
                 losses = []
-                for _ in range(steps_per_epoch):
-                    x, y = prefetch.next()
-                    state, metrics = self.train_step(state, x, y)
-                    losses.append(metrics["loss"])
+                for _ in range(steps_per_epoch // n_call):
+                    if n_call == 1:
+                        x, y = prefetch.next()
+                        state, metrics = self.train_step(state, x, y)
+                        losses.append(metrics["loss"])
+                    else:
+                        # stage n batches with a leading step axis; the
+                        # stack is a small on-device op (inputs are tiny
+                        # next to activations) and the scan call replaces
+                        # n dispatches with one
+                        xb, yb = zip(*(prefetch.next() for _ in range(n_call)))
+                        state, metrics = self.train_step_n(
+                            state, self._stack_steps(xb), self._stack_steps(yb))
+                        losses.extend(list(metrics["loss"]))
                 # block_until_ready returns early on the axon platform; the
                 # logged throughput must fence via host value readback.
                 fence(losses[-1])
@@ -276,6 +339,26 @@ class Trainer:
         finally:
             prefetch.close()
         return state
+
+    def _stack_steps(self, arrs):
+        """Stack n batches along a new leading step axis for the scan driver.
+
+        Under a DP mesh the per-batch arrays carry the batch sharding; the
+        stacked array must NOT have the 'data' axis land on the step axis
+        (sharding_for_rank trims from the front), so re-place it with a
+        None-prefixed spec: (step=replicated, batch='data', ...)."""
+        stacked = jnp.stack(arrs)
+        if self.sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import sharding_for_rank
+
+            batch_sh = sharding_for_rank(self.sharding, stacked.ndim - 1)
+            if isinstance(batch_sh, NamedSharding):
+                spec = P(*((None,) + tuple(batch_sh.spec)))
+                stacked = jax.device_put(
+                    stacked, NamedSharding(batch_sh.mesh, spec))
+        return stacked
 
     def evaluate(self, params, gval: PatchGenerator, val_steps: int) -> Dict[str, float]:
         accum: Dict[str, list] = {}

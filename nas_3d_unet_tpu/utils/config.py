@@ -114,6 +114,10 @@ class TrainConfig:
 
     epochs: int = 300
     steps_per_epoch: int = 250
+    # device-side step loop: each dispatch scans this many train steps
+    # (amortizes the ~1-4 ms/dispatch axon relay gap; 1 = plain per-step
+    # dispatch).  Must divide steps_per_epoch.
+    steps_per_call: int = 1
     lr: float = 3e-4
     weight_decay: float = 1e-4
     lr_patience: int = 30                     # plateau epochs before lr drop
@@ -134,6 +138,12 @@ class InferConfig:
     overlap: float = 0.5                      # stride = patch * (1 - overlap)
     batch_size: int = 2                       # 4 exceeds 16 GB HBM at 128³ fp32
     threshold: float = 0.5                    # region-prob threshold
+    # activation dtype of the network BODY during inference.  "float32"
+    # (default) keeps the bit-for-bit fp32 stitching contract vs the numpy
+    # oracle; "bfloat16" runs the conv body in bf16 (same as training) for
+    # ~2x throughput — the head, logits, and overlap stitch stay fp32, but
+    # logits are no longer bit-identical to the fp32 run.
+    dtype: str = "float32"
     output_dir: str = "predictions"
     checkpoint_dir: str = "ckpt/train"
 

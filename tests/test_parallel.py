@@ -307,3 +307,48 @@ def test_prefetcher_classes_mode_sharded():
         assert tuple(y.sharding.spec)[0] == "data"
     finally:
         pf.close()
+
+
+def test_dp_train_step_n_matches_single_device():
+    """The multi-step scan driver under a DP mesh: stacked (step, B, ...)
+    batches must shard the BATCH axis, not the step axis (the Trainer's
+    _stack_steps prepends None to the spec), and n scanned sharded steps
+    must match n sequential single-device steps."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nas_3d_unet_tpu.train.loop import make_train_step_n
+
+    net = tiny_derived()
+    tx = make_optimizer(1e-3, 1e-4)
+    step1 = make_train_step(net.apply, tx, augment=None)
+    stepn = make_train_step_n(net.apply, tx, augment=None)
+
+    n = 3
+    batches = [batch(seed=20 + i) for i in range(n)]
+    xs = jnp.stack([b[0] for b in batches])
+    ys = jnp.stack([b[1] for b in batches])
+
+    def init_state():
+        params = net.init(jax.random.PRNGKey(1), jnp.zeros_like(batches[0][0]))
+        return TrainState(params=params, opt_state=tx.init(params),
+                          step=jnp.asarray(0, jnp.int32), rng=jax.random.PRNGKey(2))
+
+    s_seq = init_state()
+    for x, y in batches:
+        s_seq, m_seq = step1(s_seq, x, y)
+
+    mesh = make_mesh()
+    state = replicate(mesh, init_state())
+    spec = batch_sharding(mesh).spec
+    step_shard = NamedSharding(mesh, P(*((None,) + tuple(spec))))
+    xs_s = jax.device_put(xs, step_shard)
+    ys_s = jax.device_put(ys, step_shard)
+    assert tuple(xs_s.sharding.spec)[1] == "data"
+    s_dp, m_dp = stepn(state, xs_s, ys_s)
+
+    assert int(s_dp.step) == n
+    np.testing.assert_allclose(float(m_dp["loss"][-1]), float(m_seq["loss"]),
+                               rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_seq.params),
+                    jax.tree_util.tree_leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)

@@ -217,3 +217,59 @@ def test_prefetcher_propagates_worker_error(tmp_path):
     with _pytest.raises(RuntimeError, match="Prefetcher worker failed"):
         pf.next()
     pf.close()
+
+
+def test_train_step_n_matches_sequential_steps():
+    """The lax.scan multi-step driver runs the SAME step body, so n scanned
+    steps must match n sequential single-step dispatches (identical RNG
+    split chain, augmentation included)."""
+    from nas_3d_unet_tpu.train.loop import make_train_step_n
+
+    net = tiny_net()
+    tx = make_optimizer(1e-3, 1e-4)
+    aug = dict(flip_prob=0.5, intensity_shift=0.1, intensity_scale=0.1)
+    step1 = make_train_step(net.apply, tx, augment=aug)
+    stepn = make_train_step_n(net.apply, tx, augment=aug)
+
+    n = 4
+    batches = [fixed_batch(seed=10 + i) for i in range(n)]
+    xs = jnp.stack([b[0] for b in batches])
+    ys = jnp.stack([b[1] for b in batches])
+
+    sa = init_state(net, tx)
+    seq_losses = []
+    for x, y in batches:
+        sa, m = step1(sa, x, y)
+        seq_losses.append(float(m["loss"]))
+
+    sb = init_state(net, tx)
+    sb, mn = stepn(sb, xs, ys)
+
+    np.testing.assert_allclose(np.asarray(mn["loss"]), np.asarray(seq_losses),
+                               rtol=1e-5, atol=1e-6)
+    assert int(sb.step) == n
+    for pa, pb in zip(jax.tree_util.tree_leaves(sa.params),
+                      jax.tree_util.tree_leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_trainer_steps_per_call(tmp_path):
+    """steps_per_call must divide steps_per_epoch (second-graph compile
+    guard), and a divisible setting trains end-to-end via the scan driver."""
+    import pytest
+
+    paths = write_synthetic_h5(str(tmp_path / "h5"), n_patients=2)
+    cfg = load_config(None, overrides={
+        "data.patch_size": (8, 8, 8), "data.batch_size": 1,
+        "data.val_fraction": 0.5, "model.base_channels": 4, "model.depth": 2,
+        "model.n_nodes": 2, "model.gn_groups": 4, "model.dtype": "float32",
+        "model.remat": False, "train.steps_per_call": 3,
+        "train.checkpoint_dir": str(tmp_path / "ck"),
+    })
+    net = tiny_net()
+    tr = Trainer(net, cfg, paths, device_augment=True)
+    with pytest.raises(ValueError, match="steps_per_call"):
+        tr.train(epochs=1, steps_per_epoch=4, val_steps=1)
+    state = tr.train(epochs=1, steps_per_epoch=6, val_steps=1)
+    assert int(state.step) == 6
