@@ -35,12 +35,16 @@ from nas_3d_unet_tpu.train.loop import (TrainState, make_optimizer,
 from nas_3d_unet_tpu.utils.timing import fence, time_fn, time_step_chain
 
 
-def _bench_net(dtype="bfloat16", packed=True):
+def _bench_net(dtype="bfloat16", packed=True, unpack_head=None):
+    # training keeps the head packed (packed-layout loss); inference needs
+    # the unpacked (B,D,H,W,K) head for the stitcher
+    if unpack_head is None:
+        unpack_head = not packed
     return DerivedNet(genotype=default_genotype(3), in_channels=4,
                       num_classes=3, base_channels=16, depth=3, n_nodes=3,
                       gn_groups=8, norm="group", remat=False,
                       dtype_name=dtype, packed=packed,
-                      unpack_head=not packed)
+                      unpack_head=unpack_head)
 
 
 def _batch(patch=128, b=1, seed=0):
@@ -89,11 +93,11 @@ def mode_infer16():
     vol_dev = jax.device_put(vol)
     x0 = np.zeros((1, 128, 128, 128, 4), np.float32)
 
-    net32 = _bench_net("float32")
+    net32 = _bench_net("float32", unpack_head=True)
     params = net32.init(jax.random.PRNGKey(0), x0)
     out = {}
     for name, dtype in (("f32", "float32"), ("bf16", "bfloat16")):
-        net = _bench_net(dtype)
+        net = _bench_net(dtype, unpack_head=True)
         pred = SlidingWindowPredictor(net.apply, params, (128, 128, 128),
                                       overlap=0.5, batch_size=1, num_classes=3)
         dt, probs = time_fn(pred.predict_volume, vol_dev, iters=4, warmup=1)
