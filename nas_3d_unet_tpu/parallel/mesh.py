@@ -54,7 +54,16 @@ def maybe_initialize_distributed() -> None:
             "initialized in this process; jax.distributed.initialize() must "
             "run before any jax.devices()/process_count() call. Call "
             "maybe_initialize_distributed() first thing in the entry point.")
-    jax.distributed.initialize()
+    # jax.distributed.initialize reads JAX_COORDINATOR_ADDRESS itself but NOT
+    # the process geometry; on managed clusters (SLURM/OpenMPI/TPU-pod/K8s)
+    # auto-detection fills it in, everywhere else (README launch contract,
+    # tests/multihost_worker.py) JAX_NUM_PROCESSES + JAX_PROCESS_ID must be
+    # set and are forwarded here.
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        num_processes=int(num) if num is not None else None,
+        process_id=int(pid) if pid is not None else None)
 
 
 def make_mesh(data_parallel: int = -1, spatial_parallel: int = 1,

@@ -32,6 +32,8 @@ if not _TPU_LANE:
 def pytest_configure(config):
     config.addinivalue_line("markers", "tpu: needs the real TPU chip "
                             "(run with NAS3D_TPU_TESTS=1, skipped on CPU)")
+    config.addinivalue_line("markers", "slow: multi-minute test (cold "
+                            "compile in subprocesses); deselect with -m 'not slow'")
 
 
 def pytest_collection_modifyitems(config, items):
