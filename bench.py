@@ -157,9 +157,12 @@ def bench_search() -> float:
 
 
 def bench_infer() -> float:
-    """configs[1]: whole-volume sliding-window sec/patient, device-side
-    (inputs pre-staged; the axon host↔device tunnel is a rig artifact —
-    BASELINE.md round-2 inference note)."""
+    """configs[1]: whole-volume sliding-window sec/patient on the shipped
+    product path (predict_patient default): device-side stitch + on-device
+    label decode, one uint8 label-volume readback.  Timing includes that
+    readback; the old probs route pulls 75 MB of fp32 buffers through the
+    axon tunnel and measures 5-19 s of rig-transfer variance instead of the
+    framework (PERF_NOTES round-3 "device-side label decode")."""
     from nas_3d_unet_tpu.infer.sliding import SlidingWindowPredictor
     from nas_3d_unet_tpu.models.genotype import default_genotype
     from nas_3d_unet_tpu.models.unet import DerivedNet
@@ -176,8 +179,11 @@ def bench_infer() -> float:
                                   overlap=0.5, batch_size=1, num_classes=3)
     vol_dev = jax.device_put(vol)
 
+    def labels_host(v):
+        return np.asarray(pred.predict_labels(v))   # includes the readback
+
     def run():
-        dt, _ = time_fn(pred.predict_volume, vol_dev, iters=3, warmup=1)
+        dt, _ = time_fn(labels_host, vol_dev, iters=3, warmup=1)
         return dt
 
     return _with_retries(run, "infer_volume")

@@ -110,5 +110,34 @@ def mode_infer16():
           flush=True)
 
 
+def mode_labels():
+    """Wall s/patient: probs path (75 MB fp32 readback) vs device-decode
+    label path (4.7 MB uint8) for both body dtypes."""
+    from nas_3d_unet_tpu.infer.sliding import SlidingWindowPredictor
+
+    rng = np.random.default_rng(0)
+    vol = rng.standard_normal((160, 192, 152, 4)).astype(np.float32)
+    vol_dev = jax.device_put(vol)
+    x0 = np.zeros((1, 128, 128, 128, 4), np.float32)
+
+    params = _bench_net("float32", unpack_head=True).init(jax.random.PRNGKey(0), x0)
+    for name, dtype in (("f32", "float32"), ("bf16", "bfloat16")):
+        net = _bench_net(dtype, unpack_head=True)
+        pred = SlidingWindowPredictor(net.apply, params, (128, 128, 128),
+                                      overlap=0.5, batch_size=1, num_classes=3)
+        dt_p, _ = time_fn(pred.predict_volume, vol_dev, iters=4, warmup=1)
+
+        def labels_host(v):
+            return np.asarray(pred.predict_labels(v))   # includes the readback
+
+        dt_l, lab = time_fn(labels_host, vol_dev, iters=4, warmup=1)
+        print(json.dumps({"mode": "labels", "body": name,
+                          "probs_s_per_patient": round(dt_p, 4),
+                          "labels_s_per_patient": round(dt_l, 4),
+                          "label_hist": {int(k): int(c) for k, c in
+                                         zip(*np.unique(lab, return_counts=True))}}),
+              flush=True)
+
+
 if __name__ == "__main__":
-    {"stepn": mode_stepn, "infer16": mode_infer16}[sys.argv[1]]()
+    {"stepn": mode_stepn, "infer16": mode_infer16, "labels": mode_labels}[sys.argv[1]]()

@@ -58,6 +58,9 @@ def _iter_patients_prefetched(paths: Sequence[str],
                 rec = load_patient_h5(path)
                 rec["image_dev"] = jax.device_put(
                     np.ascontiguousarray(rec["image"], dtype=np.float32))
+                if "label" in rec:
+                    rec["label_dev"] = jax.device_put(
+                        np.ascontiguousarray(rec["label"], dtype=np.int32))
                 q.put((path, rec))
         except BaseException as e:  # propagate instead of hanging the consumer
             err.append(e)
@@ -81,6 +84,7 @@ def predict_patient(
     out_dir: Optional[str] = None,
     threshold: float = 0.5,
     rec: Optional[Dict] = None,
+    device_decode: bool = True,
 ) -> Dict:
     """One patient end-to-end; returns metrics + timing.
 
@@ -88,15 +92,38 @@ def predict_patient(
     are thresholded and nested-decoded; class probabilities are argmaxed
     and remapped (index 3 → BraTS label 4).  Dice is reported per region
     either way.
+
+    `device_decode=True` (default) decodes labels on device and reads back
+    only the uint8 label volume — ~30× fewer tunnel bytes than pulling the
+    fp32 sum/count buffers (the measured per-patient wall dominator);
+    label-exact vs the probs path at the default threshold (see
+    infer/sliding.py:_decode_labels).  `device_decode=False` keeps the
+    original host-side probs route (the golden bit-for-bit path).
     """
     if rec is None:
         rec = load_patient_h5(h5_path)
     t0 = time.perf_counter()
-    probs = predictor.predict_volume(rec.get("image_dev", rec["image"]))
-    if getattr(predictor, "label_mode", "regions") == "classes":
-        labels = np.asarray(class_indices_to_labels(jnp.argmax(jnp.asarray(probs), axis=-1)))
+    if device_decode:
+        labels_dev = predictor.predict_labels(
+            rec.get("image_dev", rec["image"]), threshold=threshold)
     else:
-        labels = np.asarray(regions_to_labels(jnp.asarray(probs), threshold))
+        probs = predictor.predict_volume(rec.get("image_dev", rec["image"]))
+        if getattr(predictor, "label_mode", "regions") == "classes":
+            labels_dev = class_indices_to_labels(jnp.argmax(jnp.asarray(probs), axis=-1))
+        else:
+            labels_dev = regions_to_labels(jnp.asarray(probs), threshold)
+    if "label" in rec:
+        # Dice reduces on device while the labels are still there; only the
+        # three scalars cross back here.
+        pred_regions = labels_to_regions(labels_dev.astype(jnp.int32))
+        true = rec.get("label_dev")
+        if true is None:
+            true = jnp.asarray(rec["label"].astype(np.int32))
+        true_regions = labels_to_regions(true)
+        dice = np.asarray(region_dice(pred_regions, true_regions))
+    else:
+        dice = None
+    labels = np.asarray(labels_dev)                       # one uint8 readback
     full = uncrop_labels(labels, rec["crop_start"], rec["orig_shape"])
     elapsed = time.perf_counter() - t0
 
@@ -106,10 +133,7 @@ def predict_patient(
         out_path = os.path.join(out_dir, rec["patient"] + ".nii.gz")
         write_nifti(out_path, full, rec.get("affine"))
         result["output"] = out_path
-    if "label" in rec:
-        pred_regions = labels_to_regions(jnp.asarray(labels.astype(np.int32)))
-        true_regions = labels_to_regions(jnp.asarray(rec["label"].astype(np.int32)))
-        dice = np.asarray(region_dice(pred_regions, true_regions))
+    if dice is not None:
         result["dice"] = {"WT": float(dice[0]), "TC": float(dice[1]), "ET": float(dice[2])}
     return result
 

@@ -116,26 +116,18 @@ def _stitch(
     return sum_buf, cnt_buf
 
 
-def sliding_window_probs(
+def _stitch_sums(
     forward_fn: Callable[[Array], Array],
-    volume: np.ndarray,
+    volume,
     patch_size: Sequence[int],
-    overlap: float = 0.5,
-    batch_size: int = 4,
-    num_classes: int = 3,
+    overlap: float,
+    batch_size: int,
+    num_classes: int,
     batch_sharding=None,
     volume_sharding=None,
-) -> np.ndarray:
-    """Whole-volume averaged probabilities, (D, H, W, K) fp32.
-
-    `forward_fn` maps a patch batch (B, p, p, p, C) to *probabilities*
-    (B, p, p, p, K); it is traced inside the jitted stitcher.
-    `volume` is the preprocessed (D, H, W, C) image — a numpy array, or a
-    jax Array already staged on device (the patient-prefetch path in
-    infer/predict.py overlaps that transfer with the previous patient's
-    compute); zero-padding on either path is exact, so the bit-for-bit
-    contract is unaffected.
-    """
+) -> Tuple[Array, Array, Tuple[int, int, int]]:
+    """Shared prep + stitch: pad, grid, scan; returns device (sums, cnts)
+    plus the unpadded volume shape."""
     on_device = isinstance(volume, jax.Array)
     if on_device:
         volume = volume.astype(jnp.float32)
@@ -170,8 +162,94 @@ def sliding_window_probs(
         forward_fn=forward_fn, patch=patch, batch_size=batch_size,
         num_classes=num_classes, batch_sharding=batch_sharding,
         volume_sharding=volume_sharding)
+    return sums, cnts, orig_shape
+
+
+def sliding_window_probs(
+    forward_fn: Callable[[Array], Array],
+    volume: np.ndarray,
+    patch_size: Sequence[int],
+    overlap: float = 0.5,
+    batch_size: int = 4,
+    num_classes: int = 3,
+    batch_sharding=None,
+    volume_sharding=None,
+) -> np.ndarray:
+    """Whole-volume averaged probabilities, (D, H, W, K) fp32.
+
+    `forward_fn` maps a patch batch (B, p, p, p, C) to *probabilities*
+    (B, p, p, p, K); it is traced inside the jitted stitcher.
+    `volume` is the preprocessed (D, H, W, C) image — a numpy array, or a
+    jax Array already staged on device (the patient-prefetch path in
+    infer/predict.py overlaps that transfer with the previous patient's
+    compute); zero-padding on either path is exact, so the bit-for-bit
+    contract is unaffected.
+
+    This is the bit-for-bit fp32 contract path (host-side single divide,
+    golden-tested) — it reads the full fp32 sum/count buffers back to the
+    host.  When only the LABEL volume is needed, `sliding_window_labels`
+    decodes on device and moves ~30× fewer bytes.
+    """
+    sums, cnts, orig_shape = _stitch_sums(
+        forward_fn, volume, patch_size, overlap, batch_size, num_classes,
+        batch_sharding, volume_sharding)
     probs = np.asarray(sums) / np.asarray(cnts)           # single divide
     return probs[: orig_shape[0], : orig_shape[1], : orig_shape[2]]
+
+
+@partial(jax.jit, static_argnames=("threshold", "label_mode", "crop"))
+def _decode_labels(sums: Array, cnts: Array, threshold: float,
+                   label_mode: str, crop: Tuple[int, int, int]) -> Array:
+    """Device-side label decode from stitched sums/counts, (D, H, W) uint8.
+
+    regions: a region fires where mean prob > threshold, evaluated as
+    `sums > threshold·cnts` — for the default 0.5 (any power of two) the
+    product is exact in fp32, so this computes the EXACT mathematical
+    predicate `sums/cnts > t` with no rounding at all (the host probs path
+    rounds the division first and can misclassify a voxel lying within
+    half an ulp of the threshold).  Nested WT/TC/ET decode mirrors
+    metrics/dice.py regions_to_labels.
+
+    classes: `argmax(sums) == argmax(sums/cnts)` exactly — the per-voxel
+    count is class-independent and positive — then index 3 → BraTS label 4
+    (metrics/dice.py class_indices_to_labels).
+    """
+    sums = jax.lax.slice(sums, (0, 0, 0, 0), (*crop, sums.shape[-1]))
+    cnts = jax.lax.slice(cnts, (0, 0, 0, 0), (*crop, 1))
+    if label_mode == "classes":
+        idx = jnp.argmax(sums, axis=-1)
+        return jnp.where(idx == 3, 4, idx).astype(jnp.uint8)
+    fire = sums > jnp.float32(threshold) * cnts           # (D, H, W, 3)
+    wt, tc, et = fire[..., 0], fire[..., 1], fire[..., 2]
+    out = jnp.where(et, 4, jnp.where(tc & wt, 1, jnp.where(wt, 2, 0)))
+    return out.astype(jnp.uint8)
+
+
+def sliding_window_labels(
+    forward_fn: Callable[[Array], Array],
+    volume: np.ndarray,
+    patch_size: Sequence[int],
+    overlap: float = 0.5,
+    batch_size: int = 4,
+    num_classes: int = 3,
+    batch_sharding=None,
+    volume_sharding=None,
+    threshold: float = 0.5,
+    label_mode: str = "regions",
+) -> Array:
+    """Whole-volume BraTS labels decoded ON DEVICE, (D, H, W) uint8.
+
+    Same stitch as `sliding_window_probs`, but the divide/threshold/argmax
+    and the {0,1,2,4} remap run on device, so the only device→host traffic
+    is the final 1-byte-per-voxel label volume (~30× fewer bytes than the
+    fp32 sum+count buffers — the round-3 measured wall-time dominator on
+    tunneled hosts).  Returns a device array; callers `np.asarray` it once
+    (infer/predict.py keeps it on device for the Dice reduction first)."""
+    sums, cnts, orig_shape = _stitch_sums(
+        forward_fn, volume, patch_size, overlap, batch_size, num_classes,
+        batch_sharding, volume_sharding)
+    return _decode_labels(sums, cnts, threshold=float(threshold),
+                          label_mode=label_mode, crop=tuple(orig_shape))
 
 
 class SlidingWindowPredictor:
@@ -208,3 +286,13 @@ class SlidingWindowPredictor:
             self.forward_probs, volume, self.patch_size, self.overlap,
             self.batch_size, self.num_classes, self.batch_sharding,
             self.volume_sharding)
+
+    def predict_labels(self, volume, threshold: float = 0.5) -> Array:
+        """(D, H, W) uint8 BraTS labels, decoded on device (see
+        sliding_window_labels for the transfer-count rationale and the
+        exactness argument vs the probs path)."""
+        return sliding_window_labels(
+            self.forward_probs, volume, self.patch_size, self.overlap,
+            self.batch_size, self.num_classes, self.batch_sharding,
+            self.volume_sharding, threshold=threshold,
+            label_mode=self.label_mode)
