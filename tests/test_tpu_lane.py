@@ -152,3 +152,29 @@ def test_sliding_window_stitch_exact_on_chip():
         sums[d:d+32, h:h+32, w:w+32] += pr
         cnts[d:d+32, h:h+32, w:w+32] += 1.0
     np.testing.assert_allclose(a, sums / cnts, rtol=2e-5, atol=2e-5)
+
+
+def test_device_label_decode_matches_host_on_chip():
+    """The on-device decode (sums > t·cnts, argmax-of-sums) equals the host
+    probs route on the real chip — the TPU's divide rounding cannot flip a
+    label where the exact-product comparison is used (round-3 device-decode
+    feature; tests/test_device_decode.py proves it on CPU)."""
+    from nas_3d_unet_tpu.infer.sliding import SlidingWindowPredictor
+    from nas_3d_unet_tpu.metrics.dice import regions_to_labels
+    from nas_3d_unet_tpu.models.genotype import default_genotype
+    from nas_3d_unet_tpu.models.unet import DerivedNet
+
+    rng = np.random.default_rng(4)
+    vol = rng.standard_normal((40, 36, 32, 4)).astype(np.float32)
+    net = DerivedNet(genotype=default_genotype(2), in_channels=4, num_classes=3,
+                     base_channels=8, depth=2, n_nodes=2, gn_groups=4,
+                     remat=False, dtype_name="float32", packed=True)
+    params = net.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, 32, 32, 32, 4), jnp.float32))
+    pred = SlidingWindowPredictor(net.apply, params, (32, 32, 32), overlap=0.5,
+                                  batch_size=2, num_classes=3)
+    probs = pred.predict_volume(vol)
+    want = np.asarray(regions_to_labels(jnp.asarray(probs), 0.5))
+    got = np.asarray(pred.predict_labels(vol))
+    np.testing.assert_array_equal(got, want)
+    assert got.dtype == np.uint8
