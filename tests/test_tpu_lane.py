@@ -83,7 +83,14 @@ def test_one_fenced_train_step_on_chip():
 
 def test_packed_forward_matches_unpacked_on_chip():
     """The shipped path's core claim — packed == unpacked — proven on the
-    real chip, not CPU-extrapolated (round-3 VERDICT #8)."""
+    real chip, not CPU-extrapolated (round-3 VERDICT #8).
+
+    Pinned to HIGHEST matmul precision: at the TPU default, fp32 convs run
+    bf16 MXU multiplies, and the two lowerings (3D conv vs one-hot-einsum
+    packed kernels + 2D taps) round differently at ~1e-2 relative — that
+    measures MXU input rounding, not the algorithm.  At HIGHEST both sides
+    compute fp32-accurate products and the comparison isolates the packed
+    execution math."""
     from nas_3d_unet_tpu.models.genotype import default_genotype
     from nas_3d_unet_tpu.models.unet import DerivedNet
 
@@ -95,8 +102,9 @@ def test_packed_forward_matches_unpacked_on_chip():
     net_u = DerivedNet(**kw, packed=False)
     net_p = DerivedNet(**kw, packed=True)
     params = net_p.init(jax.random.PRNGKey(0), x)
-    want = np.asarray(jax.jit(net_u.apply)(params, x))
-    got = np.asarray(jax.jit(net_p.apply)(params, x))
+    with jax.default_matmul_precision("highest"):
+        want = np.asarray(jax.jit(net_u.apply)(params, x))
+        got = np.asarray(jax.jit(net_p.apply)(params, x))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
@@ -132,7 +140,10 @@ def test_sliding_window_stitch_exact_on_chip():
     np.testing.assert_array_equal(got, sums / cnts)
 
     # 2) real packed net: deterministic on chip; matches per-patch
-    # composition to fp32 tolerance (different jit contexts may reassociate)
+    # composition to fp32 tolerance.  Pinned to HIGHEST matmul precision:
+    # at the TPU default, fp32 convs use bf16 MXU multiplies and the
+    # scan-context vs standalone-jit compilations round differently
+    # (~1e-2 relative) — that is MXU input rounding, not stitch error.
     net = DerivedNet(genotype=default_genotype(2), in_channels=4, num_classes=3,
                      base_channels=8, depth=2, n_nodes=2, gn_groups=4,
                      remat=False, dtype_name="float32", packed=True)
@@ -140,17 +151,18 @@ def test_sliding_window_stitch_exact_on_chip():
                       jnp.zeros((1, 32, 32, 32, 4), jnp.float32))
     pred = SlidingWindowPredictor(net.apply, params, patch, overlap=0.5,
                                   batch_size=2, num_classes=3)
-    a = pred.predict_volume(vol)
-    b = pred.predict_volume(vol)
-    np.testing.assert_array_equal(a, b)          # on-chip determinism
-    fwd = jax.jit(lambda p: pred.forward_probs(p))
-    sums[:] = 0.0
-    cnts[:] = 0.0
-    for (d, h, w) in grid_coords(vol.shape[:3], patch, stride):
-        pr = np.asarray(fwd(jnp.asarray(vol[None, d:d+32, h:h+32, w:w+32]))[0],
-                        np.float32)
-        sums[d:d+32, h:h+32, w:w+32] += pr
-        cnts[d:d+32, h:h+32, w:w+32] += 1.0
+    with jax.default_matmul_precision("highest"):
+        a = pred.predict_volume(vol)
+        b = pred.predict_volume(vol)
+        np.testing.assert_array_equal(a, b)      # on-chip determinism
+        fwd = jax.jit(lambda p: pred.forward_probs(p))
+        sums[:] = 0.0
+        cnts[:] = 0.0
+        for (d, h, w) in grid_coords(vol.shape[:3], patch, stride):
+            pr = np.asarray(fwd(jnp.asarray(vol[None, d:d+32, h:h+32, w:w+32]))[0],
+                            np.float32)
+            sums[d:d+32, h:h+32, w:w+32] += pr
+            cnts[d:d+32, h:h+32, w:w+32] += 1.0
     np.testing.assert_allclose(a, sums / cnts, rtol=2e-5, atol=2e-5)
 
 
