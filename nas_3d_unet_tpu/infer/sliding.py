@@ -202,27 +202,32 @@ def _decode_labels(sums: Array, cnts: Array, threshold: float,
                    label_mode: str, crop: Tuple[int, int, int]) -> Array:
     """Device-side label decode from stitched sums/counts, (D, H, W) uint8.
 
-    regions: a region fires where mean prob > threshold, evaluated as
-    `sums > threshold·cnts` — for the default 0.5 (any power of two) the
-    product is exact in fp32, so this computes the EXACT mathematical
-    predicate `sums/cnts > t` with no rounding at all (the host probs path
-    rounds the division first and can misclassify a voxel lying within
-    half an ulp of the threshold).  Nested WT/TC/ET decode mirrors
-    metrics/dice.py regions_to_labels.
+    regions: a region fires where the mean prob exceeds the threshold,
+    evaluated as `sums > threshold·cnts`.  For the default 0.5 (any power
+    of two) the product is exact in fp32, so this computes the EXACT
+    mathematical predicate `sums/cnts > t` with no rounding at all; the
+    host probs path rounds the division first, so on a voxel lying within
+    an ulp of the threshold the two routes can differ — the device route
+    is the more faithful one.  Non-power-of-two thresholds round the
+    product once and carry the same measure-zero boundary caveat in the
+    other direction.  Nesting rule shared with the host route
+    (metrics/dice.py region_masks_to_labels).
 
-    classes: `argmax(sums) == argmax(sums/cnts)` exactly — the per-voxel
-    count is class-independent and positive — then index 3 → BraTS label 4
-    (metrics/dice.py class_indices_to_labels).
+    classes: argmaxes the sums directly — the per-voxel count is
+    class-independent and positive, so this is the argmax of the exact
+    means.  The host route argmaxes ROUNDED quotients, which can collapse
+    two nearly-equal classes the exact comparison separates; again a
+    measure-zero boundary where the device route is the more faithful.
+    Then index 3 → BraTS label 4 (metrics/dice.py class_indices_to_labels).
     """
+    from ..metrics.dice import class_indices_to_labels, region_masks_to_labels
+
     sums = jax.lax.slice(sums, (0, 0, 0, 0), (*crop, sums.shape[-1]))
     cnts = jax.lax.slice(cnts, (0, 0, 0, 0), (*crop, 1))
     if label_mode == "classes":
-        idx = jnp.argmax(sums, axis=-1)
-        return jnp.where(idx == 3, 4, idx).astype(jnp.uint8)
+        return class_indices_to_labels(jnp.argmax(sums, axis=-1))
     fire = sums > jnp.float32(threshold) * cnts           # (D, H, W, 3)
-    wt, tc, et = fire[..., 0], fire[..., 1], fire[..., 2]
-    out = jnp.where(et, 4, jnp.where(tc & wt, 1, jnp.where(wt, 2, 0)))
-    return out.astype(jnp.uint8)
+    return region_masks_to_labels(fire[..., 0], fire[..., 1], fire[..., 2])
 
 
 def sliding_window_labels(

@@ -39,18 +39,23 @@ def labels_to_regions(labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([wt, tc, et], axis=-1)
 
 
-def regions_to_labels(region_probs: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
-    """Region probabilities (..., 3) → BraTS labels {0,1,2,4} (uint8).
-
-    Nested decoding: a voxel is ET(4) if the ET channel fires; else core(1)
-    if TC fires; else edema(2) if WT fires; else background.  Matches the
-    reference's remap step (SURVEY.md §3.4).
-    """
-    wt = region_probs[..., 0] > threshold
-    tc = region_probs[..., 1] > threshold
-    et = region_probs[..., 2] > threshold
+def region_masks_to_labels(wt: jnp.ndarray, tc: jnp.ndarray,
+                           et: jnp.ndarray) -> jnp.ndarray:
+    """Nested region decode: boolean WT/TC/ET masks → BraTS labels {0,1,2,4}
+    (uint8).  A voxel is ET(4) if the ET mask fires; else core(1) if TC
+    fires; else edema(2) if WT fires; else background.  Matches the
+    reference's remap step (SURVEY.md §3.4).  Single source of the nesting
+    rule — shared by the host probs route below and the on-device decode
+    (infer/sliding.py)."""
     out = jnp.where(et, 4, jnp.where(tc & wt, 1, jnp.where(wt, 2, 0)))
     return out.astype(jnp.uint8)
+
+
+def regions_to_labels(region_probs: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
+    """Region probabilities (..., 3) → BraTS labels {0,1,2,4} (uint8)."""
+    return region_masks_to_labels(region_probs[..., 0] > threshold,
+                                  region_probs[..., 1] > threshold,
+                                  region_probs[..., 2] > threshold)
 
 
 def _flatten_spatial(x: jnp.ndarray) -> jnp.ndarray:

@@ -75,7 +75,11 @@ def test_two_process_train_step(tmp_path):
             any("DEADLINE_EXCEEDED" in err for _, _, err in results):
         # gloo context init is infra-flaky (30 s fixed KV-exchange deadline
         # inside jaxlib); one bounded retry, same policy as bench.py's
-        # compile-wall retries
+        # compile-wall retries.  Clear any checkpoints the dead attempt
+        # wrote so the process-0-only assertions observe the retry only.
+        import shutil
+        for d in ckpt_dirs:
+            shutil.rmtree(d, ignore_errors=True)
         results = _launch_workers(data_dir, ckpt_dirs)
 
     # collect BOTH before asserting: the root cause usually sits in the
