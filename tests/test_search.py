@@ -184,3 +184,41 @@ def test_searcher_evaluate_alpha_split(tmp_path):
     for k in ("eval_loss", "dice_wt", "dice_tc", "dice_et"):
         assert k in full[-1] and np.isfinite(full[-1][k]), (k, full[-1])
     assert warm and "dice_wt" not in warm[0]
+
+
+def test_augment_val_flag_semantics():
+    """VERDICT r2 #9: val-side augmentation is an explicit, default-off config
+    choice (the reference applies none to the α batch, SURVEY.md §3.2).
+
+    augment_val=False: the step's val_loss equals a direct frozen eval of the
+    supernet on the RAW val batch; =True (flip_prob=1 forces flips): differs.
+    """
+    from nas_3d_unet_tpu.metrics.dice import get_loss_fn
+
+    net = tiny_supernet()
+    w_tx, a_tx = optax.adamw(1e-3), optax.adamw(3e-3)
+    aug = dict(flip_prob=1.0, intensity_shift=0.0, intensity_scale=0.0)
+    x_tr, y_tr = batches(0)
+    x_val, y_val = batches(1)
+
+    state = make_state(net, w_tx, a_tx)
+    raw = float(get_loss_fn("regions")(
+        net.apply(state.params, x_val, arch_weights_from_alphas(state.alphas)),
+        y_val))
+
+    # fresh state per call: the step donates its input state
+    step_off = make_search_step(net.apply, w_tx, a_tx, augment=aug,
+                                augment_val=False)
+    _, m_off = step_off(make_state(net, w_tx, a_tx), x_tr, y_tr, x_val, y_val)
+    step_on = make_search_step(net.apply, w_tx, a_tx, augment=aug,
+                               augment_val=True)
+    _, m_on = step_on(make_state(net, w_tx, a_tx), x_tr, y_tr, x_val, y_val)
+
+    off_loss, on_loss = float(m_off["val_loss"]), float(m_on["val_loss"])
+    np.testing.assert_allclose(off_loss, raw, rtol=1e-5)
+    assert abs(on_loss - raw) > 1e-4, (on_loss, raw)
+
+    # config plumb: the flag rides search.* into Searcher and the epoch log
+    from nas_3d_unet_tpu.utils.config import load_config as _lc
+    assert _lc(None).search.augment_val is False
+    assert _lc(None, overrides={"search.augment_val": True}).search.augment_val is True
