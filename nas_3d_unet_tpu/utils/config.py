@@ -30,7 +30,9 @@ class DataConfig:
     modalities: Tuple[str, ...] = ("t1", "t1ce", "t2", "flair")
     seg_suffix: str = "seg"
     patch_size: Tuple[int, int, int] = (128, 128, 128)
-    batch_size: int = 2
+    # b1 is the measured per-chip optimum at 128³ (10.83 vs 9.84 patches/s
+    # at b2, PERF_NOTES round 3); scale via parallel.data_parallel, not here
+    batch_size: int = 1
     val_fraction: float = 0.2
     # augmentation
     flip_prob: float = 0.5                    # per spatial axis
