@@ -108,11 +108,23 @@ def _augment_np(rng: np.random.Generator, img: np.ndarray, lab: Optional[np.ndar
 
 
 class PatchGenerator:
-    """Random-patch batch iterator over a PatientCache (host path)."""
+    """Random-patch batch iterator over a PatientCache (host path).
+
+    Sampling is COUNTER-BASED: batch k of seed s is drawn from a fresh
+    ``default_rng((s, k))``, never from a sequential stream.  This makes the
+    data stream a pure function of (seed, batch index), so an interrupted +
+    resumed run consumes bit-identical batches to an uninterrupted one —
+    the trajectory-exact-resume contract (SURVEY.md §5 checkpoint row;
+    Trainer/Searcher align the counter to the restored global step via
+    `set_step`).  Within a batch the draw order is unchanged (per sample:
+    patient idx, then 3 starts; then augment draws), so the native
+    batched-crop fast path stays RNG-order-identical to the numpy path.
+    """
 
     def __init__(self, cache: PatientCache, patch_size, batch_size: int, seed: int = 0,
                  augment: bool = True, flip_prob: float = 0.5,
-                 intensity_shift: float = 0.1, intensity_scale: float = 0.1):
+                 intensity_shift: float = 0.1, intensity_scale: float = 0.1,
+                 start_step: int = 0):
         self.cache = cache
         self.patch = tuple(int(p) for p in patch_size)
         self.batch_size = batch_size
@@ -121,16 +133,22 @@ class PatchGenerator:
         self.shift = intensity_shift
         self.scale = intensity_scale
         self.seed = seed
-        self.rng = np.random.default_rng(seed)
+        self._step = int(start_step)
+
+    def set_step(self, step: int) -> None:
+        """Position the stream at batch index `step` (resume alignment)."""
+        self._step = int(step)
 
     def clone(self, seed_offset: int) -> "PatchGenerator":
         """Same sampling config, independent RNG stream (multi-worker use)."""
         return PatchGenerator(self.cache, self.patch, self.batch_size,
                               seed=self.seed + seed_offset, augment=self.augment,
                               flip_prob=self.flip_prob, intensity_shift=self.shift,
-                              intensity_scale=self.scale)
+                              intensity_scale=self.scale, start_step=self._step)
 
     def next(self) -> Tuple[np.ndarray, np.ndarray]:
+        rng = np.random.default_rng((self.seed, self._step))
+        self._step += 1
         # fast path: non-augmenting (device-side augmentation) batches whose
         # volumes all fit the patch go through the C++/OpenMP batch cropper
         # (crop_batch_bytes) — one call for images, one for labels.  RNG
@@ -139,11 +157,11 @@ class PatchGenerator:
         recs, starts = [], []
         native_ok = not self.augment
         for _ in range(self.batch_size):
-            rec = self.cache.records[self.rng.integers(0, len(self.cache))]
+            rec = self.cache.records[rng.integers(0, len(self.cache))]
             shape = rec["image"].shape[:3]
             if any(s < p for s, p in zip(shape, self.patch)):
                 native_ok = False
-            starts.append([int(self.rng.integers(0, max(1, s - p + 1)))
+            starts.append([int(rng.integers(0, max(1, s - p + 1)))
                            for s, p in zip(shape, self.patch)])
             recs.append(rec)
         if native_ok and "label" in recs[0]:
@@ -156,7 +174,7 @@ class PatchGenerator:
         for rec, st in zip(recs, starts):
             img, lab = _crop_at(rec["image"], rec.get("label"), st, self.patch)
             if self.augment:
-                img, lab = _augment_np(self.rng, img, lab, self.flip_prob, self.shift, self.scale)
+                img, lab = _augment_np(rng, img, lab, self.flip_prob, self.shift, self.scale)
             xs.append(img)
             ys.append(lab)
         x = np.stack(xs)

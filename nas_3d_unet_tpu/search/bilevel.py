@@ -271,15 +271,23 @@ class Searcher:
         self.logger.log(event="model", params=count_params(state.params),
                         alphas=count_params(state.alphas))
         start_epoch = int(state.step) // steps_per_epoch
+        # counter-based streams positioned at the restored step make resume
+        # TRAJECTORY-exact (data/pipeline.py).  g_w advances every step;
+        # g_a/g_eval only on non-warmup steps/epochs, so their counters are
+        # aligned to the non-warm work completed so far.
+        non_warm_epochs = max(0, start_epoch - sc.warmup_epochs)
         g_w = PatchGenerator(self.w_cache, self.patch, self.batch,
-                             seed=sc.seed + 101 + start_epoch, augment=False)
+                             seed=sc.seed + 101, augment=False,
+                             start_step=int(state.step))
         g_a = PatchGenerator(self.a_cache, self.patch, self.batch,
-                             seed=sc.seed + 202 + start_epoch, augment=False)
+                             seed=sc.seed + 202, augment=False,
+                             start_step=non_warm_epochs * steps_per_epoch)
         # dedicated eval generator: g_a is being drained by the pf_a thread,
         # and numpy Generators are not thread-safe — sharing it would race
         # and break seeded reproducibility
         g_eval = PatchGenerator(self.a_cache, self.patch, self.batch,
-                                seed=sc.seed + 303 + start_epoch, augment=False)
+                                seed=sc.seed + 303, augment=False,
+                                start_step=non_warm_epochs * sc.val_steps)
         pf_w = Prefetcher(g_w, depth=2, sharding=self.sharding)
         pf_a = Prefetcher(g_a, depth=2, sharding=self.sharding)
         genotype = None

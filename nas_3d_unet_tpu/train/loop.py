@@ -291,7 +291,14 @@ class Trainer:
         state = self.resume_or_init(jax.random.PRNGKey(tc.seed))
         self.logger.log(event="model", params=count_params(state.params))
         start_epoch = int(state.step) // steps_per_epoch
-        gtrain, gval = self._generators(tc.seed + start_epoch)
+        # counter-based streams (data/pipeline.py): positioning by the
+        # restored global step makes resume TRAJECTORY-exact — the resumed
+        # run consumes the same batches an uninterrupted run would have
+        # (device augment already rides in state.rng, so host sampling was
+        # the only divergence source)
+        gtrain, gval = self._generators(tc.seed)
+        gtrain.set_step(int(state.step))
+        gval.set_step(start_epoch * val_steps)
         prefetch = Prefetcher(gtrain, depth=2, sharding=self.sharding)
         try:
             for epoch in range(start_epoch, epochs):

@@ -123,6 +123,41 @@ def test_searcher_end_to_end(tmp_path):
     assert int(state2.step) == 12
 
 
+def test_search_resume_trajectory_exact(tmp_path):
+    """VERDICT r3 #3 (search side): interrupted+resumed search is bitwise
+    identical to an uninterrupted run — the w/α/eval streams are counter-
+    based and positioned by the restored step (bilevel.py)."""
+    paths = write_synthetic_h5(str(tmp_path / "h5"), n_patients=3)
+
+    def mk(ck):
+        cfg = load_config(None, overrides={
+            "data.patch_size": (8, 8, 8), "data.batch_size": 2,
+            "data.val_fraction": 0.34, "model.base_channels": 4,
+            "model.depth": 2, "model.n_nodes": 2, "model.gn_groups": 4,
+            "model.dtype": "float32", "model.remat": False,
+            "search.warmup_epochs": 1, "search.val_steps": 2,
+            "search.checkpoint_dir": str(tmp_path / ck), "search.seed": 0,
+        })
+        return Searcher(tiny_supernet(), cfg, paths)
+
+    s_full, g_full = mk("ck_a").search(epochs=2, steps_per_epoch=3)
+    mk("ck_b").search(epochs=1, steps_per_epoch=3)   # "crash" after epoch 0
+    s_res, g_res = mk("ck_b").search(epochs=2, steps_per_epoch=3)
+
+    assert int(s_full.step) == int(s_res.step) == 6
+    assert g_full == g_res
+    np.testing.assert_array_equal(np.asarray(s_full.rng), np.asarray(s_res.rng))
+    for k in s_full.alphas:
+        np.testing.assert_array_equal(np.asarray(s_full.alphas[k]),
+                                      np.asarray(s_res.alphas[k]))
+    for tree_a, tree_b in ((s_full.params, s_res.params),
+                           (s_full.w_opt, s_res.w_opt),
+                           (s_full.a_opt, s_res.a_opt)):
+        for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                        jax.tree_util.tree_leaves(tree_b)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_second_order_step_runs_and_differs():
     from nas_3d_unet_tpu.search.bilevel import make_search_step_unrolled
 
@@ -184,6 +219,8 @@ def test_searcher_evaluate_alpha_split(tmp_path):
     for k in ("eval_loss", "dice_wt", "dice_tc", "dice_et"):
         assert k in full[-1] and np.isfinite(full[-1][k]), (k, full[-1])
     assert warm and "dice_wt" not in warm[0]
+    # the augment_val flag rides into every epoch record (default off)
+    assert all(e.get("augment_val") is False for e in epochs), epochs
 
 
 def test_augment_val_flag_semantics():
@@ -215,10 +252,14 @@ def test_augment_val_flag_semantics():
     _, m_on = step_on(make_state(net, w_tx, a_tx), x_tr, y_tr, x_val, y_val)
 
     off_loss, on_loss = float(m_off["val_loss"]), float(m_on["val_loss"])
-    np.testing.assert_allclose(off_loss, raw, rtol=1e-5)
+    # rtol 1e-4: jitted vs un-jitted fp32 reductions may reassociate across
+    # jaxlib versions; still far below the 1e-4 on/off separation below
+    np.testing.assert_allclose(off_loss, raw, rtol=1e-4)
     assert abs(on_loss - raw) > 1e-4, (on_loss, raw)
 
-    # config plumb: the flag rides search.* into Searcher and the epoch log
+    # config plumb: default off, override works (Searcher pickup + the
+    # epoch-log augment_val field are asserted in
+    # test_searcher_evaluate_alpha_split, which runs a full Searcher)
     from nas_3d_unet_tpu.utils.config import load_config as _lc
     assert _lc(None).search.augment_val is False
     assert _lc(None, overrides={"search.augment_val": True}).search.augment_val is True
