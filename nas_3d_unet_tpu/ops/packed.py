@@ -983,6 +983,35 @@ def _pool_w_shifted(xp: Array, layout: PackedLayout, combine) -> Array:
     return combine(parts)
 
 
+def _axis_max3(x: Array, axis: int, stride: int) -> Array:
+    """Max over 3-wide SAME windows along one axis via pad(−inf) + three
+    strided slices + elementwise maximum.  Values are exactly
+    reduce_window-max's; the point is the GRADIENT: XLA lowers
+    reduce_window-max's VJP to SelectAndScatter, which the GSPMD partitioner
+    silently mis-partitions on a spatially sharded window axis (measured
+    round 4: max|dgrad| 6.4e-3 on a forward that matches to 4e-6, CPU mesh).
+    Slice/pad transposes + jnp.maximum's balanced-tie VJP partition
+    correctly, and the tie behaviour (split, not first-wins) is the same on
+    every backend and sharding."""
+    n = x.shape[axis]
+    lo, hi = same_pad(n, 3, stride, 1)
+    out = -(-n // stride)
+    pad_cfg = [(0, 0)] * x.ndim
+    pad_cfg[axis] = (lo, hi)
+    xpad = jnp.pad(x, pad_cfg, constant_values=-jnp.inf)
+    parts = [jax.lax.slice_in_dim(xpad, o, o + stride * (out - 1) + 1,
+                                  stride=stride, axis=axis) for o in range(3)]
+    return jnp.maximum(jnp.maximum(parts[0], parts[1]), parts[2])
+
+
+def max_pool3_shifted(x: Array, stride: int = 1) -> Array:
+    """3³ max pool (SAME) on (B, D, H, W, C), separable per-axis maxima.
+    The GSPMD-safe replacement for nn.max_pool — see _axis_max3."""
+    for axis in (1, 2, 3):
+        x = _axis_max3(x, axis, stride)
+    return x
+
+
 def packed_avg_pool3(xp: Array, layout: PackedLayout, *, w_in: int,
                      stride: int = 1) -> Array:
     """3³ avg pool, SAME, count_include_pad=False, on a packed tensor.
@@ -1083,12 +1112,10 @@ def packed_max_pool3(xp: Array, layout: PackedLayout, *, stride: int = 1) -> Arr
                 mask[-1, idx[layout.r - 1]] = True   # w+1 >= W
             shifted = jnp.where(jnp.asarray(mask)[None, None, None], neg, shifted)
         acc = shifted if acc is None else jnp.maximum(acc, shifted)
-    # D/H max windows
-    pd = same_pad(xp.shape[1], 3, stride, 1)
-    ph = same_pad(xp.shape[2], 3, stride, 1)
-    y = jax.lax.reduce_window(
-        acc, -jnp.inf, jax.lax.max, (1, 3, 3, 1, 1), (1, stride, stride, 1, 1),
-        [(0, 0), pd, ph, (0, 0), (0, 0)])
+    # D/H max windows — shifted maxima, not reduce_window: the
+    # SelectAndScatter backward is wrong under spatial (D) sharding
+    # (_axis_max3 docstring)
+    y = _axis_max3(_axis_max3(acc, 1, stride), 2, stride)
     if stride == 2:
         # anchor parity follows SAME pad_lo — see packed_avg_pool3
         w_in = xp.shape[3] * layout.r

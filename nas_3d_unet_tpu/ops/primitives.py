@@ -40,6 +40,7 @@ from .packed import (
     packed_depthwise3,
     packed_group_norm,
     packed_group_norm_from_stats,
+    max_pool3_shifted,
     packed_max_pool3,
     packed_resize2x,
     packed_transpose2x,
@@ -428,7 +429,10 @@ class Pool(nn.Module):
             y = nn.avg_pool(x, win[1:4], strides=strides[1:4], padding="SAME",
                             count_include_pad=False)
             return y.astype(x.dtype)
-        return nn.max_pool(x, win[1:4], strides=strides[1:4], padding="SAME")
+        # NOT nn.max_pool: reduce_window-max's SelectAndScatter gradient is
+        # silently mis-partitioned under GSPMD spatial sharding (packed.py
+        # _axis_max3 has the measurement); same forward values
+        return max_pool3_shifted(x, self.stride)
 
 
 class UpTranspose(nn.Module):
