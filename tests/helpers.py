@@ -5,6 +5,54 @@ import numpy as np
 from nas_3d_unet_tpu.data.preprocess import preprocess_arrays
 
 
+def write_learnable_h5(out_dir, n_patients=4, shape=(28, 28, 28), seed=0):
+    """Deterministic DESIGNED-LEARNABLE task (VERDICT r3 #1, SURVEY.md §4
+    integration bullet): tumor signal lives in TWO modalities — t1ce (m=1)
+    carries the whole blob plus an extra bump on the enhancing core, flair
+    (m=3) carries the whole blob — against low-amplitude noise, so a small
+    net must reach high WT dice if (and only if) the stack actually learns.
+
+    Labels follow BraTS semantics: outer shell = 2 (edema, WT only),
+    core = 4 (enhancing, so WT ⊇ TC = ET = core).
+    """
+    import h5py
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    zz, yy, xx = np.mgrid[:shape[0], :shape[1], :shape[2]]
+    paths = []
+    for i in range(n_patients):
+        c = [int(rng.integers(2 * s // 5, 3 * s // 5)) for s in shape]
+        r = min(shape) // 3
+        d2 = (zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2
+        blob = (d2 < r * r).astype(np.float32)
+        core = (d2 < (r - 3) ** 2).astype(np.float32)
+        vols = []
+        for m in range(4):
+            v = rng.random(shape).astype(np.float32) * 0.2 + 0.1
+            if m == 1:          # t1ce: whole tumor + enhancing-core bump
+                v = v + 1.0 * blob + 0.5 * core
+            elif m == 3:        # flair: whole tumor
+                v = v + 0.8 * blob
+            v += rng.random(shape).astype(np.float32) * 0.05
+            vols.append(v)
+        seg = np.zeros(shape, np.uint8)
+        seg[blob > 0] = 2
+        seg[core > 0] = 4
+        rec = preprocess_arrays(vols, seg)
+        path = os.path.join(out_dir, f"LEARN_{i}.h5")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("image", data=rec["image"])
+            f.create_dataset("label", data=rec["label"])
+            f.attrs["crop_start"] = rec["crop_start"]
+            f.attrs["orig_shape"] = rec["orig_shape"]
+            f.attrs["affine"] = np.eye(4, dtype=np.float32)
+            f.attrs["patient"] = f"LEARN_{i}"
+        paths.append(path)
+    return paths
+
+
 def write_synthetic_h5(out_dir, n_patients=3, shape=(20, 18, 16), seed=0):
     """Deterministic synthetic dataset with a LEARNABLE rule:
     tumor (label 2/4) sits where t1ce intensity is high, so a model can fit
