@@ -1006,10 +1006,20 @@ def _axis_max3(x: Array, axis: int, stride: int) -> Array:
 
 def max_pool3_shifted(x: Array, stride: int = 1) -> Array:
     """3³ max pool (SAME) on (B, D, H, W, C), separable per-axis maxima.
-    The GSPMD-safe replacement for nn.max_pool — see _axis_max3."""
-    for axis in (1, 2, 3):
-        x = _axis_max3(x, axis, stride)
-    return x
+    The GSPMD-safe replacement for nn.max_pool — see _axis_max3.
+
+    The whole pool is rematerialized in the backward (jax.checkpoint):
+    the maximum-chain VJP otherwise stores every padded slice and partial
+    maximum as residuals — ~4 extra full-size buffers per stride-1 pool,
+    enough to OOM the 128³ remat-off supernet search on a 16 GB chip
+    (measured round 4).  Recomputing the slice maxima costs three
+    elementwise passes in the backward, invisible next to the convs, and
+    restores reduce_window's input+output-only footprint."""
+    def pool(x):
+        for axis in (1, 2, 3):
+            x = _axis_max3(x, axis, stride)
+        return x
+    return jax.checkpoint(pool)(x)
 
 
 def packed_avg_pool3(xp: Array, layout: PackedLayout, *, w_in: int,
@@ -1086,42 +1096,51 @@ def _w_downsample2(xp: Array, lin: PackedLayout, offset: int = 0) -> Array:
 
 def packed_max_pool3(xp: Array, layout: PackedLayout, *, stride: int = 1) -> Array:
     """3³ max pool, SAME, on a packed tensor.  W window via in-lane shift
-    matmuls with −inf boundary (matmul with 0/1 matrix then where-mask)."""
-    neg = jnp.asarray(-jnp.inf, jnp.float32)
-    mats = _w_shift_matrices(layout, (-1, 0, 1))
-    xf = xp.astype(jnp.float32)
-    prev_b = _w_neighbor(xf, -1)
-    next_b = _w_neighbor(xf, +1)
-    # boundary masks: positions whose shifted source falls outside [0, W)
-    wpn = xp.shape[3]
-    acc = None
-    for s in (-1, 0, 1):
-        cur, oth = mats[s]
-        shifted = xf @ jnp.asarray(cur, jnp.float32)
-        nb = prev_b if s < 0 else next_b
-        shifted = shifted + nb @ jnp.asarray(oth, jnp.float32)
-        # sources outside the volume: only the FIRST block's lowest slot
-        # (s=-1) / LAST block's highest slot (s=+1) read a zero neighbor —
-        # mask those to -inf so max ignores them
-        if s != 0:
-            mask = np.zeros((wpn, layout.r * layout.c), bool)
-            idx = layout.index()
-            if s < 0:
-                mask[0, idx[0]] = True               # w-1 < 0
-            else:
-                mask[-1, idx[layout.r - 1]] = True   # w+1 >= W
-            shifted = jnp.where(jnp.asarray(mask)[None, None, None], neg, shifted)
-        acc = shifted if acc is None else jnp.maximum(acc, shifted)
-    # D/H max windows — shifted maxima, not reduce_window: the
-    # SelectAndScatter backward is wrong under spatial (D) sharding
-    # (_axis_max3 docstring)
-    y = _axis_max3(_axis_max3(acc, 1, stride), 2, stride)
-    if stride == 2:
-        # anchor parity follows SAME pad_lo — see packed_avg_pool3
-        w_in = xp.shape[3] * layout.r
-        pw_lo, _ = same_pad(w_in, 3, 2, 1)
-        y = _w_downsample2(y, layout, offset=1 - pw_lo)
-    return y.astype(xp.dtype)
+    matmuls with −inf boundary (matmul with 0/1 matrix then where-mask).
+
+    Runs in the INPUT dtype: the 0/1 shift matmuls copy single values (one
+    nonzero per output lane — the MXU's f32 accumulation of one product is
+    the exact bf16 value back), and max never rounds, so bf16-in/bf16-out
+    is bit-identical to an f32 round-trip at half the buffer traffic.
+    Backward rematerializes the whole pool (jax.checkpoint) — see
+    max_pool3_shifted for the measured OOM this prevents."""
+    def pool(xp):
+        dt = xp.dtype
+        neg = jnp.asarray(-jnp.inf, dt)
+        mats = _w_shift_matrices(layout, (-1, 0, 1))
+        prev_b = _w_neighbor(xp, -1)
+        next_b = _w_neighbor(xp, +1)
+        # boundary masks: positions whose shifted source falls outside [0, W)
+        wpn = xp.shape[3]
+        acc = None
+        for s in (-1, 0, 1):
+            cur, oth = mats[s]
+            shifted = xp @ jnp.asarray(cur, dt)
+            nb = prev_b if s < 0 else next_b
+            shifted = shifted + nb @ jnp.asarray(oth, dt)
+            # sources outside the volume: only the FIRST block's lowest slot
+            # (s=-1) / LAST block's highest slot (s=+1) read a zero neighbor —
+            # mask those to -inf so max ignores them
+            if s != 0:
+                mask = np.zeros((wpn, layout.r * layout.c), bool)
+                idx = layout.index()
+                if s < 0:
+                    mask[0, idx[0]] = True               # w-1 < 0
+                else:
+                    mask[-1, idx[layout.r - 1]] = True   # w+1 >= W
+                shifted = jnp.where(jnp.asarray(mask)[None, None, None], neg, shifted)
+            acc = shifted if acc is None else jnp.maximum(acc, shifted)
+        # D/H max windows — shifted maxima, not reduce_window: the
+        # SelectAndScatter backward is wrong under spatial (D) sharding
+        # (_axis_max3 docstring)
+        y = _axis_max3(_axis_max3(acc, 1, stride), 2, stride)
+        if stride == 2:
+            # anchor parity follows SAME pad_lo — see packed_avg_pool3
+            w_in = xp.shape[3] * layout.r
+            pw_lo, _ = same_pad(w_in, 3, 2, 1)
+            y = _w_downsample2(y, layout, offset=1 - pw_lo)
+        return y
+    return jax.checkpoint(pool)(xp)
 
 
 # ---------------------------------------------------------------------------
