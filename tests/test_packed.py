@@ -405,3 +405,43 @@ def test_packed_group_norm_dot_stats_matches_xla():
     for a, b in zip(g_a, g_b):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_max_pool_vjp_saves_only_input_residuals():
+    """HBM-footprint pin for the shifted-max pools (PERF_NOTES round-4).
+
+    The maximum-chain VJP would naturally save every padded slice and
+    partial maximum (~4 extra full-size buffers per stride-1 pool) — at
+    128³ supernet scale that OOMed the remat-off bilevel search step on
+    a 16 GB chip.  Both pool entry points are jax.checkpoint-wrapped so
+    the backward recomputes the cheap slice maxima; this test pins the
+    property itself: the only full-size residual is the pool INPUT (plus,
+    for the packed variant, O(r²c²) trace-time shift-matrix constants).
+    """
+    from nas_3d_unet_tpu.ops.packed import max_pool3_shifted
+    try:
+        from jax._src.ad_checkpoint import saved_residuals
+    except ImportError:
+        pytest.skip("saved_residuals moved; re-pin against this jaxlib")
+
+    def nbytes(residuals):
+        return sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                   for a, _ in residuals)
+
+    x = jnp.zeros((1, 8, 8, 16, 2), jnp.float32)
+    for stride in (1, 2):
+        res = saved_residuals(lambda x: max_pool3_shifted(x, stride), x)
+        assert nbytes(res) <= x.size * x.dtype.itemsize, [
+            (a.shape, str(src)) for a, src in res]
+
+    r, c = 4, 2
+    lay = standard_layout(r, c)
+    xp = pack(x.astype(jnp.bfloat16), r)
+    for stride in (1, 2):
+        res = saved_residuals(
+            lambda xp: packed_max_pool3(xp, lay, stride=stride), xp)
+        # input + shift-matrix constants (shape-independent, ~1 KB here)
+        assert nbytes(res) <= xp.size * xp.dtype.itemsize + 4096, [
+            (a.shape, str(src)) for a, src in res]
+        # no f32 promotion: every residual is bf16/bool-sized or smaller
+        assert all(a.dtype != jnp.float32 for a, _ in res)
