@@ -79,7 +79,11 @@ def bench_train() -> float:
     from nas_3d_unet_tpu.utils.timing import time_step_chain
 
     patch = int(os.environ.get("BENCH_PATCH", "128"))
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    # b2 + microbatch=1 (gradient accumulation) is the measured-fastest
+    # shipped config: 11.33 patches/s vs 11.07 (b1) / 9.97 (b2 full-batch);
+    # b4+mb1 plateaus at the same 11.33 (PERF_NOTES round-4 grad-accum A/B)
+    batch = int(os.environ.get("BENCH_BATCH", "2"))
+    microbatch = int(os.environ.get("BENCH_MICROBATCH", "1"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     # lane-packed execution + no remat is the measured-fastest single-chip
@@ -95,7 +99,8 @@ def bench_train() -> float:
     tx = make_optimizer(3e-4, 1e-4)
     step = make_train_step(net.apply, tx,
                            augment=dict(flip_prob=0.5, intensity_shift=0.1,
-                                        intensity_scale=0.1))
+                                        intensity_scale=0.1),
+                           microbatch=microbatch)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, patch, patch, patch, 4)).astype(np.float32))

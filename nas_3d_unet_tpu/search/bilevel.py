@@ -241,7 +241,11 @@ class Searcher:
         self.w_cache = PatientCache(w_paths, dc.label_mode)
         self.a_cache = PatientCache(a_paths or w_paths, dc.label_mode)
         self.patch = dc.patch_size
-        self.batch = dc.batch_size
+        # search.batch_size overrides data.batch_size (0 = inherit): the
+        # bilevel step is the HBM-critical config — the remat-off supernet
+        # holds residuals for BOTH the w- and α-batch — so the shipped
+        # config pins search to b1 while derived training runs b2+mb1
+        self.batch = getattr(sc, "batch_size", 0) or dc.batch_size
 
     def init_state(self, rng: Array) -> SearchState:
         k_init, k_alpha, k_state = jax.random.split(rng, 3)

@@ -71,20 +71,64 @@ def set_learning_rate(opt_state, lr: float):
 
 
 def _make_step_body(apply_fn: Callable, tx: optax.GradientTransformation,
-                    augment: Optional[dict], label_mode: str):
-    """The un-jitted step body shared by the single-step and scan drivers."""
+                    augment: Optional[dict], label_mode: str,
+                    microbatch: int = 0):
+    """The un-jitted step body shared by the single-step and scan drivers.
+
+    `microbatch` > 0 computes the gradient by lax.scan over size-`microbatch`
+    slices of the batch (scan-of-grads, NOT grad-of-scan): each iteration
+    runs its own fwd+bwd, so only ONE microbatch's residuals are live at a
+    time and the conv graphs inside are microbatch-shaped.  Both Dice and
+    CE are means over per-sample terms, so the accumulated mean gradient is
+    mathematically identical to the full-batch gradient (equal-size slices;
+    only fp32 reduction order differs).  Motivation (PERF_NOTES round 3/4):
+    at batch 2 XLA's full-batch graph pays a 12.5% per-patch tax — layout
+    copies + conv streaming under HBM pressure — that the batch-1 graph
+    does not; accumulation buys b>1 semantics at b1 graph efficiency for
+    one extra params-sized buffer.  Augmentation stays full-batch (it is
+    per-sample keyed), so the augmented data is bit-identical either way.
+    """
     compute_loss = get_loss_fn(label_mode)
+
+    def full_grads(params, x: Array, y: Array):
+        def loss_fn(p):
+            return compute_loss(apply_fn(p, x), y)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    def accum_grads(params, x: Array, y: Array):
+        b = x.shape[0]
+        if b % microbatch != 0:
+            raise ValueError(
+                f"train.microbatch={microbatch} must divide batch size {b}")
+        k = b // microbatch
+        xm = x.reshape(k, microbatch, *x.shape[1:])
+        ym = y.reshape(k, microbatch, *y.shape[1:])
+
+        def mb_loss(p, xi, yi):
+            return compute_loss(apply_fn(p, xi), yi)
+
+        vg = jax.value_and_grad(mb_loss)
+
+        def scan_body(carry, xy):
+            loss_sum, g_sum = carry
+            loss_i, g_i = vg(params, *xy)
+            return (loss_sum + loss_i,
+                    jax.tree_util.tree_map(jnp.add, g_sum, g_i)), None
+
+        zero = (jnp.zeros((), jnp.float32),
+                jax.tree_util.tree_map(jnp.zeros_like, params))
+        (loss_sum, g_sum), _ = jax.lax.scan(scan_body, zero, (xm, ym))
+        inv = jnp.float32(1.0 / k)
+        return loss_sum * inv, jax.tree_util.tree_map(lambda g: g * inv, g_sum)
 
     def body(state: TrainState, x: Array, y: Array) -> Tuple[TrainState, Array]:
         rng, k_aug = jax.random.split(state.rng)
         if augment is not None:
             x, y = augment_batch(k_aug, x, y, **augment)
 
-        def loss_fn(params):
-            logits = apply_fn(params, x)
-            return compute_loss(logits, y)
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        use_accum = microbatch and microbatch < x.shape[0]
+        loss, grads = (accum_grads if use_accum else full_grads)(state.params, x, y)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state,
@@ -95,15 +139,18 @@ def _make_step_body(apply_fn: Callable, tx: optax.GradientTransformation,
 
 
 def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
-                    augment: Optional[dict] = None, label_mode: str = "regions"):
+                    augment: Optional[dict] = None, label_mode: str = "regions",
+                    microbatch: int = 0):
     """Build the jitted train step: (state, x, y) → (state, metrics).
 
     `augment`: None, or dict(flip_prob=…, intensity_shift=…, intensity_scale=…)
     to fold device-side augmentation into the graph.
     `label_mode`: "regions" (y = (B,D,H,W,3) one-hots, sigmoid loss) or
     "classes" (y = (B,D,H,W) int indices, softmax loss).
+    `microbatch`: 0 = full-batch gradient; >0 = gradient accumulation over
+    size-`microbatch` slices (see `_make_step_body`).
     """
-    body = _make_step_body(apply_fn, tx, augment, label_mode)
+    body = _make_step_body(apply_fn, tx, augment, label_mode, microbatch)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, x: Array, y: Array) -> Tuple[TrainState, Dict[str, Array]]:
@@ -114,7 +161,8 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
 
 
 def make_train_step_n(apply_fn: Callable, tx: optax.GradientTransformation,
-                      augment: Optional[dict] = None, label_mode: str = "regions"):
+                      augment: Optional[dict] = None, label_mode: str = "regions",
+                      microbatch: int = 0):
     """Device-side step loop: ONE dispatch runs n train steps via lax.scan.
 
     (state, xs, ys) → (state, {"loss": (n,)}) where xs/ys carry a leading
@@ -127,7 +175,7 @@ def make_train_step_n(apply_fn: Callable, tx: optax.GradientTransformation,
     n·(patch³·(in+K)·4B) HBM (~15 MB each at 128³) — negligible next to
     activations.
     """
-    body = _make_step_body(apply_fn, tx, augment, label_mode)
+    body = _make_step_body(apply_fn, tx, augment, label_mode, microbatch)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step_n(state: TrainState, xs: Array, ys: Array) -> Tuple[TrainState, Dict[str, Array]]:
@@ -218,12 +266,14 @@ class Trainer:
                 and getattr(net, "unpack_head", True)):
             train_net = net.clone(unpack_head=False)
         self.steps_per_call = max(1, int(getattr(tc, "steps_per_call", 1)))
+        mb = int(getattr(tc, "microbatch", 0))
         if self.steps_per_call > 1:
             self.train_step_n = make_train_step_n(train_net.apply, self.tx,
                                                   augment=aug,
-                                                  label_mode=dc.label_mode)
+                                                  label_mode=dc.label_mode,
+                                                  microbatch=mb)
         self.train_step = make_train_step(train_net.apply, self.tx, augment=aug,
-                                          label_mode=dc.label_mode)
+                                          label_mode=dc.label_mode, microbatch=mb)
         self.eval_step = make_eval_step(net.apply, label_mode=dc.label_mode)
         self.plateau = PlateauController(tc.lr_patience, tc.lr_factor, tc.min_lr)
         self.logger = MetricsLogger(

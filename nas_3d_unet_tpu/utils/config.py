@@ -30,8 +30,12 @@ class DataConfig:
     modalities: Tuple[str, ...] = ("t1", "t1ce", "t2", "flair")
     seg_suffix: str = "seg"
     patch_size: Tuple[int, int, int] = (128, 128, 128)
-    # b1 is the measured per-chip optimum at 128³ (10.83 vs 9.84 patches/s
-    # at b2, PERF_NOTES round 3); scale via parallel.data_parallel, not here
+    # For derived TRAINING pair this with train.microbatch: 1 — b2+mb1 is
+    # the measured per-chip optimum at 128³ (11.33 vs 11.07 b1 / 9.97 b2
+    # full-batch patches/s, PERF_NOTES round-4 grad-accum A/B; plateau flat
+    # through b4).  SEARCH inherits this unless search.batch_size overrides
+    # (the remat-off 128³ supernet is HBM-critical — keep search at b1).
+    # Scale further via parallel.data_parallel, not bigger batches.
     batch_size: int = 1
     val_fraction: float = 0.2
     # augmentation
@@ -103,6 +107,10 @@ class SearchConfig:
     # grads are NOT guaranteed — measure before enabling.
     augment_val: bool = False
     warmup_epochs: int = 5                    # epochs of w-only updates before alpha
+    # 0 = inherit data.batch_size.  The bilevel step is the HBM-critical
+    # config (remat-off supernet holds TWO batches' residuals); the shipped
+    # config pins search to batch 1 while derived training runs b2+mb1.
+    batch_size: int = 0
     val_steps: int = 8                        # α-split eval batches per epoch
     checkpoint_dir: str = "ckpt/search"
     checkpoint_every: int = 1                 # epochs
@@ -120,6 +128,13 @@ class TrainConfig:
     # (amortizes the ~1-4 ms/dispatch axon relay gap; 1 = plain per-step
     # dispatch).  Must divide steps_per_epoch.
     steps_per_call: int = 1
+    # gradient accumulation: 0 = full-batch gradient (default); m > 0 scans
+    # the batch in size-m slices, each through its own fwd+bwd (b1-shaped
+    # conv graphs, one slice's residuals live at a time).  Mathematically
+    # the same update (loss is a per-sample mean); recovers the measured
+    # batch-1 per-patch efficiency when a single chip must run batch > 1
+    # (PERF_NOTES round-4 grad-accumulation A/B).  Must divide batch_size.
+    microbatch: int = 0
     lr: float = 3e-4
     weight_decay: float = 1e-4
     lr_patience: int = 30                     # plateau epochs before lr drop

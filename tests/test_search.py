@@ -123,6 +123,30 @@ def test_searcher_end_to_end(tmp_path):
     assert int(state2.step) == 12
 
 
+def test_search_batch_size_override(tmp_path):
+    """search.batch_size pins the bilevel batch independently of
+    data.batch_size (0 = inherit).  The shipped config relies on this:
+    derived training runs b2+microbatch=1 (the measured optimum) while the
+    HBM-critical remat-off search stays at b1."""
+    paths = write_synthetic_h5(str(tmp_path / "h5"), n_patients=3)
+    base = {
+        "data.patch_size": (8, 8, 8), "data.batch_size": 2,
+        "data.val_fraction": 0.34, "model.base_channels": 4,
+        "model.depth": 2, "model.n_nodes": 2, "model.gn_groups": 4,
+        "model.dtype": "float32",
+        "search.checkpoint_dir": str(tmp_path / "ckpt"),
+    }
+    inherit = Searcher(tiny_supernet(), load_config(None, overrides=base), paths)
+    assert inherit.batch == 2          # default 0 inherits data.batch_size
+    pinned = Searcher(tiny_supernet(),
+                      load_config(None, overrides={**base, "search.batch_size": 1}),
+                      paths)
+    assert pinned.batch == 1
+    # and the pinned searcher actually steps at its own batch size
+    state, _ = pinned.search(epochs=1, steps_per_epoch=2)
+    assert int(state.step) == 2
+
+
 def test_search_resume_trajectory_exact(tmp_path):
     """VERDICT r3 #3 (search side): interrupted+resumed search is bitwise
     identical to an uninterrupted run — the w/α/eval streams are counter-

@@ -321,3 +321,87 @@ def test_trainer_steps_per_call(tmp_path):
         tr.train(epochs=1, steps_per_epoch=4, val_steps=1)
     state = tr.train(epochs=1, steps_per_epoch=6, val_steps=1)
     assert int(state.step) == 6
+
+
+def test_microbatch_grad_accum_matches_full_batch():
+    """train.microbatch: scan-of-grads accumulation over size-m slices equals
+    the full-batch step (loss is a per-sample mean, so the mean of
+    per-microbatch gradients IS the batch gradient — only fp32 reduction
+    order differs).  Covers m=1 and m=2 at b=4, with and without device
+    augmentation (augment is full-batch/per-sample-keyed, so the augmented
+    data is bit-identical across drivers)."""
+    net = tiny_net()
+    x, y = fixed_batch(3, b=4)
+    for augment in (None, dict(flip_prob=0.5, intensity_shift=0.1,
+                               intensity_scale=0.1)):
+        tx = make_optimizer(1e-3, 1e-4)
+        full = make_train_step(net.apply, tx, augment=augment)
+        ref = init_state(net, tx, b=4)
+        ref, mref = full(ref, x, y)
+        for m in (1, 2):
+            accum = make_train_step(net.apply, tx, augment=augment, microbatch=m)
+            st = init_state(net, tx, b=4)
+            st, mm = accum(st, x, y)
+            np.testing.assert_allclose(float(mm["loss"]), float(mref["loss"]),
+                                       rtol=1e-5)
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
+                                                        atol=1e-6),
+                jax.device_get(st.params), jax.device_get(ref.params))
+            # RNG chain is shared, so subsequent steps stay aligned too
+            assert np.array_equal(jax.device_get(st.rng), jax.device_get(ref.rng))
+
+
+def test_microbatch_must_divide_batch():
+    net = tiny_net()
+    tx = make_optimizer(1e-3, 1e-4)
+    step = make_train_step(net.apply, tx, augment=None, microbatch=3)
+    state = init_state(net, tx, b=4)
+    x, y = fixed_batch(4, b=4)
+    import pytest
+
+    with pytest.raises(ValueError, match="must divide"):
+        step(state, x, y)
+
+
+def test_microbatch_noop_at_full_batch():
+    """microbatch >= batch falls back to the plain full-batch gradient."""
+    net = tiny_net()
+    x, y = fixed_batch(5, b=2)
+    tx = make_optimizer(1e-3, 1e-4)
+    plain = make_train_step(net.apply, tx, augment=None)
+    noop = make_train_step(net.apply, tx, augment=None, microbatch=2)
+    s1 = init_state(net, tx)
+    s2 = init_state(net, tx)
+    s1, m1 = plain(s1, x, y)
+    s2, m2 = noop(s2, x, y)
+    assert float(m1["loss"]) == float(m2["loss"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b),
+        jax.device_get(s1.params), jax.device_get(s2.params))
+
+
+def test_trainer_microbatch_plumb(tmp_path):
+    """train.microbatch rides config → Trainer → the jitted step (shipped
+    default: data.batch_size 2 + train.microbatch 1).  The accumulated run
+    matches the full-batch Trainer's trajectory (same seeds, same counter-
+    based data stream; gradients differ only in fp32 reduction order)."""
+    paths = write_synthetic_h5(str(tmp_path / "h5"), n_patients=2)
+
+    def mk(mb, ck):
+        cfg = load_config(None, overrides={
+            "data.patch_size": (8, 8, 8), "data.batch_size": 2,
+            "data.val_fraction": 0.5, "model.base_channels": 4,
+            "model.depth": 2, "model.n_nodes": 2, "model.gn_groups": 4,
+            "model.dtype": "float32", "model.remat": False,
+            "train.microbatch": mb,
+            "train.checkpoint_dir": str(tmp_path / ck),
+        })
+        return Trainer(tiny_net(), cfg, paths, device_augment=True)
+
+    s_mb = mk(1, "ck_mb").train(epochs=1, steps_per_epoch=3, val_steps=1)
+    s_fb = mk(0, "ck_fb").train(epochs=1, steps_per_epoch=3, val_steps=1)
+    assert int(s_mb.step) == int(s_fb.step) == 3
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        jax.device_get(s_mb.params), jax.device_get(s_fb.params))
