@@ -87,6 +87,10 @@ def _make_step_body(apply_fn: Callable, tx: optax.GradientTransformation,
     does not; accumulation buys b>1 semantics at b1 graph efficiency for
     one extra params-sized buffer.  Augmentation stays full-batch (it is
     per-sample keyed), so the augmented data is bit-identical either way.
+    Under GSPMD data parallelism the grouping is strided so every scan
+    slice shards evenly over the data axis (see accum_grads); pick
+    `microbatch` as a multiple of the data-axis size (equivalently: b/m
+    must divide the per-device batch) to keep the reshape collective-free.
     """
     compute_loss = get_loss_fn(label_mode)
 
@@ -102,8 +106,17 @@ def _make_step_body(apply_fn: Callable, tx: optax.GradientTransformation,
             raise ValueError(
                 f"train.microbatch={microbatch} must divide batch size {b}")
         k = b // microbatch
-        xm = x.reshape(k, microbatch, *x.shape[1:])
-        ym = y.reshape(k, microbatch, *y.shape[1:])
+        # STRIDED grouping (sample j → slice j % k), not contiguous: under
+        # GSPMD batch sharding the device shards are contiguous blocks of
+        # b/n, so a contiguous size-m slice would live on only ⌈m/(b/n)⌉
+        # devices and idle the rest each scan iteration.  The strided
+        # reshape (m, k) splits the sharded axis by k (clean local reshape
+        # when k divides the per-device batch), and the swap puts the scan
+        # axis first with every slice keeping an equal per-device share.
+        # Grouping is arbitrary for a mean, so this stays exact; at m=1 the
+        # swap is a free axis-1 transpose and the layout is unchanged.
+        xm = jnp.swapaxes(x.reshape(microbatch, k, *x.shape[1:]), 0, 1)
+        ym = jnp.swapaxes(y.reshape(microbatch, k, *y.shape[1:]), 0, 1)
 
         def mb_loss(p, xi, yi):
             return compute_loss(apply_fn(p, xi), yi)

@@ -86,6 +86,37 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)
 
 
+def test_dp_train_step_microbatch_matches_single_device():
+    """Gradient accumulation under GSPMD DP: the strided microbatch grouping
+    keeps every scan slice evenly sharded over the data axis, and the
+    accumulated update equals the single-device FULL-batch step (grouping
+    is arbitrary for a per-sample-mean loss).  b=8 over data=4 (per-device
+    batch 2), microbatch 4 → k=2 slices of 4 samples, one per device each."""
+    net = tiny_derived()
+    tx = make_optimizer(1e-3, 1e-4)
+    x, y = batch()
+
+    def init_state():
+        params = net.init(jax.random.PRNGKey(1), jnp.zeros_like(x))
+        return TrainState(params=params, opt_state=tx.init(params),
+                          step=jnp.asarray(0, jnp.int32), rng=jax.random.PRNGKey(2))
+
+    full = make_train_step(net.apply, tx, augment=None)
+    s_single, m_single = _run_train(init_state(), full, x, y)
+
+    accum = make_train_step(net.apply, tx, augment=None, microbatch=4)
+    mesh = make_mesh(data_parallel=4)
+    state = replicate(mesh, init_state())
+    xs, ys = shard_batch(mesh, (x, y))
+    s_dp, m_dp = _run_train(state, accum, xs, ys)
+
+    np.testing.assert_allclose(float(m_single["loss"]), float(m_dp["loss"]),
+                               rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                    jax.tree_util.tree_leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)
+
+
 def test_dp_spatial_train_step_runs():
     """data×spatial mesh: batch over 4 devices, volume D-axis over 2."""
     net = tiny_derived()
