@@ -92,6 +92,26 @@ def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
     return NamedSharding(mesh, spec)
 
 
+def batch_partitions(sharding) -> int:
+    """Number of shards along the leading (batch) axis of a batch sharding.
+
+    Used by the Trainer to validate `train.microbatch` against the data-axis
+    size: the strided grad-accumulation grouping is collective-free only
+    when the microbatch is a multiple of this count (train/loop.py
+    `accum_grads`)."""
+    if not isinstance(sharding, NamedSharding) or not len(sharding.spec):
+        return 1
+    axes = sharding.spec[0]
+    if axes is None:
+        return 1
+    if isinstance(axes, str):
+        axes = (axes,)
+    n = 1
+    for a in axes:
+        n *= sharding.mesh.shape[a]
+    return int(n)
+
+
 def sharding_for_rank(sharding, ndim: int):
     """Trim a batch sharding's PartitionSpec to an array's rank.
 

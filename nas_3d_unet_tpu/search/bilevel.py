@@ -258,10 +258,16 @@ class Searcher:
 
     def resume_or_init(self, rng: Array) -> SearchState:
         state = self.init_state(rng)
+        self._resume_meta: dict = {}
         ckpt = latest_checkpoint(self.cfg.search.checkpoint_dir)
         if ckpt is not None:
             step, path = ckpt
             state = load_checkpoint(path, state)
+            import json as _json
+            meta_path = os.path.join(self.cfg.search.checkpoint_dir,
+                                     "metadata.json")
+            if os.path.exists(meta_path):
+                self._resume_meta = _json.load(open(meta_path))
             self.logger.log(event="resume", step=step, path=path)
         return state
 
@@ -272,6 +278,11 @@ class Searcher:
         steps_per_epoch = steps_per_epoch if steps_per_epoch is not None else sc.steps_per_epoch
 
         state = self.resume_or_init(jax.random.PRNGKey(sc.seed))
+        from ..train.loop import warn_stream_geometry_mismatch
+        warn_stream_geometry_mismatch(self._resume_meta, self.logger,
+                                      steps_per_epoch=steps_per_epoch,
+                                      val_steps=sc.val_steps,
+                                      warmup_epochs=sc.warmup_epochs)
         self.logger.log(event="model", params=count_params(state.params),
                         alphas=count_params(state.alphas))
         start_epoch = int(state.step) // steps_per_epoch
@@ -330,7 +341,11 @@ class Searcher:
 
                 if (epoch + 1) % sc.checkpoint_every == 0 or epoch == epochs - 1:
                     save_checkpoint(sc.checkpoint_dir, int(state.step), state,
-                                    metadata={"epoch": epoch, "config": self.cfg.to_dict()})
+                                    metadata={"epoch": epoch,
+                                              "steps_per_epoch": steps_per_epoch,
+                                              "val_steps": sc.val_steps,
+                                              "warmup_epochs": sc.warmup_epochs,
+                                              "config": self.cfg.to_dict()})
                     # process-0 only: multi-host runs share the filesystem and
                     # would race on the file (save_checkpoint guards likewise)
                     if jax.process_index() == 0:

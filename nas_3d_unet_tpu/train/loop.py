@@ -258,6 +258,31 @@ class PlateauController:
         self.bad_epochs = d["bad_epochs"]
 
 
+def warn_stream_geometry_mismatch(meta: dict, logger: MetricsLogger,
+                                  **current) -> None:
+    """Detect a resume whose stream geometry differs from the original run.
+
+    Trajectory-exact resume positions the counter-based data streams from
+    the restored global step, which silently assumes steps_per_epoch /
+    val_steps (and for search, warmup_epochs) are the same as in the run
+    that wrote the checkpoint; a mismatch shifts the streams — and through
+    the plateau controller the whole trajectory — with no error.  The
+    geometry is persisted in checkpoint metadata; on mismatch we warn
+    loudly rather than raise (changing the geometry is a legitimate,
+    deliberate choice — it just forfeits trajectory-exactness)."""
+    for key, now in current.items():
+        was = meta.get(key)
+        if was is not None and int(was) != int(now):
+            import warnings
+
+            msg = (f"resume with {key}={now} but the checkpoint was written "
+                   f"with {key}={was}: the counter-based data streams are "
+                   "positioned by the restored step, so this resume is NOT "
+                   "trajectory-exact vs an uninterrupted run")
+            warnings.warn(msg)
+            logger.log(event="warn", msg=msg)
+
+
 class Trainer:
     """Derived-model training driver (reference `Training`, SURVEY.md §2)."""
 
@@ -280,6 +305,26 @@ class Trainer:
             train_net = net.clone(unpack_head=False)
         self.steps_per_call = max(1, int(getattr(tc, "steps_per_call", 1)))
         mb = int(getattr(tc, "microbatch", 0))
+        # accum_grads' strided grouping is collective-free only when the
+        # slice count k = b/m divides the per-device batch, i.e. the
+        # data-axis size divides the microbatch.  A violating config is
+        # still exact but GSPMD reshards every scan slice — the very
+        # per-patch tax accumulation exists to remove — so fall back to the
+        # full-batch gradient (same update, fp reduction order aside).
+        if mb and sharding is not None:
+            from ..parallel.mesh import batch_partitions
+
+            n_data = batch_partitions(sharding)
+            if n_data > 1 and mb < dc.batch_size and mb % n_data != 0:
+                import warnings
+
+                warnings.warn(
+                    f"train.microbatch={mb} is not a multiple of the data-axis "
+                    f"size {n_data}; the accumulation reshape would reshard "
+                    "every scan slice. Falling back to the full-batch "
+                    "gradient (numerically the same update).")
+                mb = 0
+        self.microbatch = mb
         if self.steps_per_call > 1:
             self.train_step_n = make_train_step_n(train_net.apply, self.tx,
                                                   augment=aug,
@@ -311,6 +356,7 @@ class Trainer:
 
     def resume_or_init(self, rng: Array) -> TrainState:
         state = self.init_state(rng)
+        self._resume_meta: dict = {}
         ckpt = latest_checkpoint(self.cfg.train.checkpoint_dir)
         if ckpt is not None:
             step, path = ckpt
@@ -322,6 +368,7 @@ class Trainer:
             meta_path = os.path.join(self.cfg.train.checkpoint_dir, "metadata.json")
             if os.path.exists(meta_path):
                 meta = _json.load(open(meta_path))
+                self._resume_meta = meta
                 if "plateau" in meta:
                     self.plateau.load_state_dict(meta["plateau"])
             self.logger.log(event="resume", step=step, path=path)
@@ -352,6 +399,9 @@ class Trainer:
                 "second graph — minutes per cold axon compile)")
 
         state = self.resume_or_init(jax.random.PRNGKey(tc.seed))
+        warn_stream_geometry_mismatch(self._resume_meta, self.logger,
+                                      steps_per_epoch=steps_per_epoch,
+                                      val_steps=val_steps)
         self.logger.log(event="model", params=count_params(state.params))
         start_epoch = int(state.step) // steps_per_epoch
         # counter-based streams (data/pipeline.py): positioning by the
@@ -404,6 +454,8 @@ class Trainer:
                     save_checkpoint(tc.checkpoint_dir, int(state.step), state,
                                     metadata={"epoch": epoch, "mean_dice": mean_dice,
                                               "plateau": self.plateau.state_dict(),
+                                              "steps_per_epoch": steps_per_epoch,
+                                              "val_steps": val_steps,
                                               "config": self.cfg.to_dict()},
                                     best=is_best)
         finally:

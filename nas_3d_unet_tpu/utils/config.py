@@ -30,12 +30,14 @@ class DataConfig:
     modalities: Tuple[str, ...] = ("t1", "t1ce", "t2", "flair")
     seg_suffix: str = "seg"
     patch_size: Tuple[int, int, int] = (128, 128, 128)
-    # For derived TRAINING pair this with train.microbatch: 1 — b2+mb1 is
-    # the measured per-chip optimum at 128³ (11.33 vs 11.07 b1 / 9.97 b2
-    # full-batch patches/s, PERF_NOTES round-4 grad-accum A/B; plateau flat
-    # through b4).  SEARCH inherits this unless search.batch_size overrides
-    # (the remat-off 128³ supernet is HBM-critical — keep search at b1).
-    # Scale further via parallel.data_parallel, not bigger batches.
+    # The CODE default is the HBM-safe batch 1 (any caller without a config
+    # file gets a config that always fits at 128³).  The SHIPPED config.yml
+    # opts into batch_size: 2 + train.microbatch: 1 — the measured per-chip
+    # optimum at 128³ (11.33 vs 11.07 b1 / 9.97 b2 full-batch patches/s,
+    # PERF_NOTES round-4 grad-accum A/B; plateau flat through b4).  SEARCH
+    # inherits this unless search.batch_size overrides (the remat-off 128³
+    # supernet is HBM-critical — keep search at b1).  Scale further via
+    # parallel.data_parallel, not bigger batches.
     batch_size: int = 1
     val_fraction: float = 0.2
     # augmentation

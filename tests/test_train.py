@@ -405,3 +405,68 @@ def test_trainer_microbatch_plumb(tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
         jax.device_get(s_mb.params), jax.device_get(s_fb.params))
+
+
+def test_trainer_microbatch_dp_divisibility_fallback(tmp_path):
+    """ADVICE r4: under a DP mesh, a microbatch that is not a multiple of
+    the data-axis size would make GSPMD reshard every scan slice (the exact
+    per-patch tax accumulation exists to remove); the Trainer must warn and
+    fall back to the full-batch gradient.  A divisible microbatch must pass
+    through untouched."""
+    import pytest
+    from nas_3d_unet_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    paths = write_synthetic_h5(str(tmp_path / "h5"), n_patients=2)
+    mesh = make_mesh(data_parallel=2, spatial_parallel=1)
+    sharding = batch_sharding(mesh)
+
+    def mk(b, mb):
+        cfg = load_config(None, overrides={
+            "data.patch_size": (8, 8, 8), "data.batch_size": b,
+            "data.val_fraction": 0.5, "model.base_channels": 4,
+            "model.depth": 2, "model.n_nodes": 2, "model.gn_groups": 4,
+            "model.dtype": "float32", "model.remat": False,
+            "train.microbatch": mb,
+            "train.checkpoint_dir": str(tmp_path / "ck"),
+        })
+        return Trainer(tiny_net(), cfg, paths, device_augment=True,
+                       sharding=sharding)
+
+    with pytest.warns(UserWarning, match="microbatch"):
+        tr = mk(2, 1)
+    assert tr.microbatch == 0  # fell back to full batch
+
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)
+        tr = mk(4, 2)          # 2 % n_data(2) == 0: no warning
+    assert tr.microbatch == 2
+
+
+def test_resume_warns_on_stream_geometry_mismatch(tmp_path):
+    """ADVICE r4: trajectory-exact resume assumes the same steps_per_epoch/
+    val_steps as the run that wrote the checkpoint; a mismatch silently
+    shifts the counter-based streams, so the Trainer must warn loudly."""
+    import pytest
+
+    paths = write_synthetic_h5(str(tmp_path / "h5"), n_patients=2)
+
+    def mk():
+        cfg = load_config(None, overrides={
+            "data.patch_size": (8, 8, 8), "data.batch_size": 1,
+            "data.val_fraction": 0.5, "model.base_channels": 4,
+            "model.depth": 2, "model.n_nodes": 2, "model.gn_groups": 4,
+            "model.dtype": "float32", "model.remat": False,
+            "train.checkpoint_dir": str(tmp_path / "ck"),
+        })
+        return Trainer(tiny_net(), cfg, paths, device_augment=True)
+
+    mk().train(epochs=1, steps_per_epoch=2, val_steps=1)
+    with pytest.warns(UserWarning, match="steps_per_epoch"):
+        mk().train(epochs=2, steps_per_epoch=4, val_steps=1)
+
+    # same geometry resumes silently
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)
+        mk().train(epochs=3, steps_per_epoch=4, val_steps=1)
