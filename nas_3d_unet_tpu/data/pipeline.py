@@ -243,11 +243,13 @@ class Prefetcher:
 
     def _put(self, arr: np.ndarray) -> Array:
         if self._sharding is not None:
-            # class-mode labels are rank-4; trim the batch spec to each
-            # array's rank (parallel/mesh.py)
-            from ..parallel.mesh import sharding_for_rank
+            # single-host: device_put with the rank-trimmed batch spec.
+            # multi-host: this array is the PER-PROCESS slice of the global
+            # batch and put_global_batch stitches the hosts' slices into one
+            # global array (README multi-host contract step 3).
+            from ..parallel.mesh import put_global_batch
 
-            return jax.device_put(arr, sharding_for_rank(self._sharding, arr.ndim))
+            return put_global_batch(arr, self._sharding)
         if self._device is not None:
             return jax.device_put(arr, self._device)
         return jax.device_put(arr)

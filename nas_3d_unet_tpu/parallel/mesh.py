@@ -131,6 +131,40 @@ def put_batch(tree: Any, sharding) -> Any:
         tree)
 
 
+def put_global_batch(tree: Any, sharding) -> Any:
+    """Assemble GLOBAL batch arrays from per-process LOCAL slices.
+
+    This is the multi-host batch contract (README "Multi-host launch
+    contract" step 3): the global batch size is `data.batch_size`; process p
+    generates ONLY its local rows [p·b_local, (p+1)·b_local) with
+    b_local = batch/process_count, and
+    `jax.make_array_from_process_local_data` stitches them into one global
+    array — no host assembles (or throws away) any other host's rows.
+
+    Single-process this is exactly `put_batch`, so single-host behavior
+    (and its bitwise-pinned tests) is unchanged.
+    """
+    if jax.process_count() == 1 or not isinstance(sharding, NamedSharding):
+        return put_batch(tree, sharding)
+
+    def put(a):
+        a = np.asarray(a)
+        return jax.make_array_from_process_local_data(
+            sharding_for_rank(sharding, a.ndim), a)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def local_batch_size(global_batch: int, what: str = "data.batch_size") -> int:
+    """Per-process slice of the global batch (multi-host contract step 3)."""
+    p = jax.process_count()
+    if global_batch % p != 0:
+        raise ValueError(
+            f"{what}={global_batch} must be divisible by the process count "
+            f"{p}: the global batch is assembled from equal per-host slices")
+    return global_batch // p
+
+
 def replicate(mesh: Mesh, tree: Any) -> Any:
     """Fully replicate a pytree (params/opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())

@@ -246,6 +246,12 @@ class Searcher:
         # holds residuals for BOTH the w- and α-batch — so the shipped
         # config pins search to b1 while derived training runs b2+mb1
         self.batch = getattr(sc, "batch_size", 0) or dc.batch_size
+        # Multi-host: global batch = the configured batch; each process
+        # generates only its local slice (README multi-host contract step 3;
+        # see train/loop.py for the same pattern + rationale)
+        from ..parallel.mesh import local_batch_size
+        self.local_batch = local_batch_size(self.batch, "search batch size")
+        self._host_seed_offset = 100003 * jax.process_index()
 
     def init_state(self, rng: Array) -> SearchState:
         k_init, k_alpha, k_state = jax.random.split(rng, 3)
@@ -278,6 +284,14 @@ class Searcher:
         steps_per_epoch = steps_per_epoch if steps_per_epoch is not None else sc.steps_per_epoch
 
         state = self.resume_or_init(jax.random.PRNGKey(sc.seed))
+        if jax.process_count() > 1 and self.sharding is not None:
+            # commit the identical host-local state as ONE global replicated
+            # pytree (see train/loop.py for the rationale)
+            from jax.sharding import NamedSharding as _NS
+
+            from ..parallel.mesh import replicate
+            if isinstance(self.sharding, _NS):
+                state = replicate(self.sharding.mesh, state)
         from ..train.loop import warn_stream_geometry_mismatch
         warn_stream_geometry_mismatch(self._resume_meta, self.logger,
                                       steps_per_epoch=steps_per_epoch,
@@ -291,17 +305,18 @@ class Searcher:
         # g_a/g_eval only on non-warmup steps/epochs, so their counters are
         # aligned to the non-warm work completed so far.
         non_warm_epochs = max(0, start_epoch - sc.warmup_epochs)
-        g_w = PatchGenerator(self.w_cache, self.patch, self.batch,
-                             seed=sc.seed + 101, augment=False,
+        hseed = sc.seed + self._host_seed_offset
+        g_w = PatchGenerator(self.w_cache, self.patch, self.local_batch,
+                             seed=hseed + 101, augment=False,
                              start_step=int(state.step))
-        g_a = PatchGenerator(self.a_cache, self.patch, self.batch,
-                             seed=sc.seed + 202, augment=False,
+        g_a = PatchGenerator(self.a_cache, self.patch, self.local_batch,
+                             seed=hseed + 202, augment=False,
                              start_step=non_warm_epochs * steps_per_epoch)
         # dedicated eval generator: g_a is being drained by the pf_a thread,
         # and numpy Generators are not thread-safe — sharing it would race
         # and break seeded reproducibility
-        g_eval = PatchGenerator(self.a_cache, self.patch, self.batch,
-                                seed=sc.seed + 303, augment=False,
+        g_eval = PatchGenerator(self.a_cache, self.patch, self.local_batch,
+                                seed=hseed + 303, augment=False,
                                 start_step=non_warm_epochs * sc.val_steps)
         pf_w = Prefetcher(g_w, depth=2, sharding=self.sharding)
         pf_a = Prefetcher(g_a, depth=2, sharding=self.sharding)
@@ -365,10 +380,11 @@ class Searcher:
             if self.sharding is not None:
                 # eval batches carry the training mesh sharding (device-0-only
                 # eval under a DP mesh is silent and wrong); per-leaf
-                # rank-trimmed (class-mode labels are rank-4)
-                from ..parallel.mesh import put_batch
+                # rank-trimmed (class-mode labels are rank-4); multi-host the
+                # hosts' slices assemble into one global batch
+                from ..parallel.mesh import put_global_batch
 
-                x, y = put_batch((np.asarray(x), np.asarray(y)), self.sharding)
+                x, y = put_global_batch((np.asarray(x), np.asarray(y)), self.sharding)
             m = self.eval_step((state.params, aw), jnp.asarray(x), jnp.asarray(y))
             for k, v in m.items():
                 accum.setdefault(k, []).append(float(v))

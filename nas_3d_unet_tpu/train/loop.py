@@ -66,7 +66,15 @@ def get_learning_rate(opt_state) -> float:
 
 def set_learning_rate(opt_state, lr: float):
     hp = dict(opt_state.hyperparams)
-    hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.asarray(hp["learning_rate"]).dtype)
+    old = hp["learning_rate"]
+    new = jnp.asarray(lr, dtype=jnp.asarray(old).dtype)
+    if isinstance(old, jax.Array):
+        # keep the old leaf's placement — under a multi-host mesh the
+        # hyperparams leaf is replicated over the GLOBAL mesh, and swapping
+        # in an uncommitted host-local scalar would change the jitted step's
+        # input sharding (recompile) and mix local/global arrays
+        new = jax.device_put(new, old.sharding)
+    hp["learning_rate"] = new
     return opt_state._replace(hyperparams=hp)
 
 
@@ -345,6 +353,24 @@ class Trainer:
         self.val_cache = PatientCache(val_paths or train_paths, dc.label_mode)
         self.patch = dc.patch_size
         self.batch = dc.batch_size
+        # Multi-host: the GLOBAL batch is data.batch_size; each process
+        # generates only its local slice (README multi-host contract step 3;
+        # parallel/mesh.py put_global_batch stitches the slices).  Host
+        # streams get a large-prime seed stride so no host's stream collides
+        # with another's (or with the +1 val-stream offset); process 0 keeps
+        # the exact single-host streams.
+        from ..parallel.mesh import local_batch_size
+        self.local_batch = local_batch_size(self.batch)
+        self._host_seed_offset = 100003 * jax.process_index()
+        if jax.process_count() > 1 and self.steps_per_call > 1:
+            raise ValueError(
+                "train.steps_per_call > 1 is single-host only: the scan "
+                "driver stacks already-placed global batches eagerly, which "
+                "multi-process JAX cannot execute outside jit")
+        # per-epoch (lr, mean_dice, is_best) record — cheap observability,
+        # and the multi-host test asserts the LR trajectory is identical on
+        # every process (the plateau input is a replicated scalar)
+        self.history: list = []
 
     def init_state(self, rng: Array) -> TrainState:
         k_init, k_state = jax.random.split(rng)
@@ -376,11 +402,13 @@ class Trainer:
 
     def _generators(self, seed: int):
         dc = self.cfg.data
-        gtrain = PatchGenerator(self.train_cache, self.patch, self.batch, seed=seed,
+        seed = seed + self._host_seed_offset
+        gtrain = PatchGenerator(self.train_cache, self.patch, self.local_batch,
+                                seed=seed,
                                 augment=self.host_augment, flip_prob=dc.flip_prob,
                                 intensity_shift=dc.intensity_shift,
                                 intensity_scale=dc.intensity_scale)
-        gval = PatchGenerator(self.val_cache, self.patch, self.batch,
+        gval = PatchGenerator(self.val_cache, self.patch, self.local_batch,
                               seed=seed + 1, augment=False)
         return gtrain, gval
 
@@ -399,6 +427,15 @@ class Trainer:
                 "second graph — minutes per cold axon compile)")
 
         state = self.resume_or_init(jax.random.PRNGKey(tc.seed))
+        if jax.process_count() > 1 and self.sharding is not None:
+            # every process initialized (or loaded) identical host-local
+            # state from the same seed/checkpoint; commit it as ONE global
+            # replicated pytree so the jitted step sees global arrays only
+            from jax.sharding import NamedSharding as _NS
+
+            from ..parallel.mesh import replicate
+            if isinstance(self.sharding, _NS):
+                state = replicate(self.sharding.mesh, state)
         warn_stream_geometry_mismatch(self._resume_meta, self.logger,
                                       steps_per_epoch=steps_per_epoch,
                                       val_steps=val_steps)
@@ -437,12 +474,19 @@ class Trainer:
                 dt = time.perf_counter() - t0
                 pps = steps_per_epoch * self.batch / dt
 
+                # the eval batches are GLOBAL (each host contributes its
+                # slice), so the jitted eval metrics are replicated scalars:
+                # every process computes the SAME mean_dice and therefore
+                # takes the SAME plateau-LR branch — replicated opt_state
+                # stays bit-identical across hosts by construction
                 val = self.evaluate(state.params, gval, val_steps)
                 mean_dice = float(np.mean([val["dice_wt"], val["dice_tc"], val["dice_et"]]))
                 lr = get_learning_rate(state.opt_state)
                 new_lr, is_best = self.plateau.update(mean_dice, lr)
                 if new_lr != lr:
                     state = state.replace(opt_state=set_learning_rate(state.opt_state, new_lr))
+                self.history.append({"epoch": epoch, "mean_dice": mean_dice,
+                                     "lr": new_lr, "is_best": is_best})
 
                 self.logger.log(event="epoch", epoch=epoch,
                                 train_loss=float(np.mean([float(l) for l in losses])),
@@ -489,10 +533,14 @@ class Trainer:
             if self.sharding is not None:
                 # eval batches must carry the same mesh sharding as training
                 # or they silently run on device 0 only under a DP mesh;
-                # per-leaf rank-trimmed (class-mode labels are rank-4)
-                from ..parallel.mesh import put_batch
+                # per-leaf rank-trimmed (class-mode labels are rank-4).
+                # Multi-host, the hosts' slices assemble into ONE global
+                # eval batch — the returned metrics are replicated scalars,
+                # which is what makes the plateau-LR decision identical on
+                # every process.
+                from ..parallel.mesh import put_global_batch
 
-                x, y = put_batch((np.asarray(x), np.asarray(y)), self.sharding)
+                x, y = put_global_batch((np.asarray(x), np.asarray(y)), self.sharding)
             m = self.eval_step(params, jnp.asarray(x), jnp.asarray(y))
             for k, v in m.items():
                 accum.setdefault(k, []).append(float(v))

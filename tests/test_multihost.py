@@ -31,7 +31,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch_workers(data_dir, ckpt_dirs):
+def _launch_workers(data_dir, ckpt_dirs, worker=_WORKER):
     port = _free_port()
     env_base = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     env_base.pop("XLA_FLAGS", None)  # the worker sets its own device count
@@ -47,7 +47,7 @@ def _launch_workers(data_dir, ckpt_dirs):
                    MH_CKPT_DIR=str(ckpt_dirs[pid]),
                    MH_CACHE_DIR=os.path.join(_HERE, ".jax_cache"))
         procs.append(subprocess.Popen(
-            [sys.executable, _WORKER], env=env,
+            [sys.executable, worker], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
 
     results = []
@@ -105,6 +105,68 @@ def test_two_process_train_step(tmp_path):
     shard0, shard1 = set(outs[0]["host_shard"]), set(outs[1]["host_shard"])
     assert shard0.isdisjoint(shard1)
     assert len(shard0 | shard1) == 10
+
+    # checkpoint written by process 0 ONLY
+    assert any(ckpt_dirs[0].iterdir()), "process 0 must write its checkpoint"
+    assert not ckpt_dirs[1].exists() or not any(ckpt_dirs[1].iterdir()), \
+        "process 1 must not write checkpoints"
+
+
+@pytest.mark.slow
+def test_two_process_trainer_epochs(tmp_path):
+    """Round-5 prescription #1: the training CONTROL LOOP must stay
+    consistent across processes.  Two real `Trainer.train` epochs (eval →
+    plateau-LR → checkpoint) across two processes, with a trigger-happy
+    plateau controller (patience 0), must produce:
+      * identical per-epoch (lr, mean_dice, is_best) histories — the
+        plateau input is a replicated scalar, so both hosts branch alike,
+      * identical final replicated parameter bytes (md5),
+      * the documented global-batch semantics: global batch ==
+        data.batch_size, row p contributed by host p (probe rows valued
+        process_index+1 → per-row means [1.0, 2.0]),
+      * process-0-only checkpoint writes.
+    """
+    sys.path.insert(0, os.path.dirname(_HERE))
+    from tests.helpers import write_synthetic_h5
+
+    data_dir = tmp_path / "data"
+    ckpt_dirs = [tmp_path / "ckpt0", tmp_path / "ckpt1"]
+    write_synthetic_h5(str(data_dir), n_patients=4)
+
+    worker = os.path.join(_HERE, "multihost_trainer_worker.py")
+    results = _launch_workers(data_dir, ckpt_dirs, worker)
+    if any(rc != 0 for rc, _, _ in results) and \
+            any("DEADLINE_EXCEEDED" in err for _, _, err in results):
+        import shutil
+        for d in ckpt_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        results = _launch_workers(data_dir, ckpt_dirs, worker)
+
+    fails = "\n".join(
+        f"--- worker {pid} rc={rc}\n" + "\n".join(err.splitlines()[-25:])
+        for pid, (rc, _, err) in enumerate(results) if rc != 0)
+    assert not fails, fails
+    outs = [json.loads(out.splitlines()[-1]) for _, out, _ in results]
+
+    # global-batch semantics: 2 rows total, host order
+    for out in outs:
+        assert out["global_batch"] == 2
+        assert out["row_means"] == [1.0, 2.0], out["row_means"]
+
+    # identical control-loop trajectory on both hosts: every epoch's lr,
+    # mean_dice and is_best must match EXACTLY (replicated scalars)
+    h0, h1 = outs[0]["history"], outs[1]["history"]
+    assert len(h0) == len(h1) == 2
+    assert h0 == h1, (h0, h1)
+
+    # identical replicated parameter bytes after both epochs
+    assert outs[0]["params_md5"] == outs[1]["params_md5"]
+    assert outs[0]["final_step"] == outs[1]["final_step"] == 4
+
+    # disjoint per-host patient shards covering the dataset
+    shard0, shard1 = set(outs[0]["host_shard"]), set(outs[1]["host_shard"])
+    assert shard0.isdisjoint(shard1)
+    assert len(shard0 | shard1) == 4
 
     # checkpoint written by process 0 ONLY
     assert any(ckpt_dirs[0].iterdir()), "process 0 must write its checkpoint"
