@@ -39,6 +39,25 @@ def labels_to_regions(labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([wt, tc, et], axis=-1)
 
 
+def labels_to_regions_np(labels: np.ndarray) -> np.ndarray:
+    """Pure-numpy twin of `labels_to_regions` (bitwise-identical fp32 0/1).
+
+    Used on the host collate path: PatientCache stores the raw uint8 BraTS
+    label volume (1 B/voxel) instead of the fp32 region one-hot (12 B/voxel)
+    and PatchGenerator converts per PATCH here — comparisons and the 0/1
+    cast are exact, so batches match the old full-volume-fp32 storage bit
+    for bit (tests/test_pipeline.py pins this)."""
+    wt = (labels > 0).astype(np.float32)
+    tc = ((labels == 1) | (labels == 4)).astype(np.float32)
+    et = (labels == 4).astype(np.float32)
+    return np.stack([wt, tc, et], axis=-1)
+
+
+def labels_to_class_indices_np(labels: np.ndarray) -> np.ndarray:
+    """Pure-numpy twin of `labels_to_class_indices` (same int32 result)."""
+    return np.where(labels == 4, 3, labels).astype(np.int32)
+
+
 def region_masks_to_labels(wt: jnp.ndarray, tc: jnp.ndarray,
                            et: jnp.ndarray) -> jnp.ndarray:
     """Nested region decode: boolean WT/TC/ET masks → BraTS labels {0,1,2,4}

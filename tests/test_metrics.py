@@ -91,9 +91,17 @@ def test_softmax_class_mode_loss_and_mapping():
 
 def test_class_mode_patient_cache(tmp_path):
     from tests.helpers import write_synthetic_h5
-    from nas_3d_unet_tpu.data.pipeline import PatientCache
+    from nas_3d_unet_tpu.data.pipeline import PatchGenerator, PatientCache
 
     paths = write_synthetic_h5(str(tmp_path), n_patients=1)
     cache = PatientCache(paths, label_mode="classes")
-    lab = cache.records[0]["label"]
+    # compact storage (round-5): raw uint8 BraTS labels in RAM...
+    lab = cache.records[0]["label_u8"]
+    assert lab.dtype == np.uint8 and set(np.unique(lab)).issubset({0, 1, 2, 4})
+    # ...but batches still deliver int32 class indices {0,1,2,3}
+    _, y = PatchGenerator(cache, (8, 8, 8), 2, seed=0, augment=False).next()
+    assert y.dtype == np.int32 and set(np.unique(y)).issubset({0, 1, 2, 3})
+    # legacy storage keeps the old full-volume int32 encoding
+    legacy = PatientCache(paths, label_mode="classes", compact=False)
+    lab = legacy.records[0]["label"]
     assert lab.dtype == np.int32 and set(np.unique(lab)).issubset({0, 1, 2, 3})

@@ -110,3 +110,43 @@ def test_patch_generator_clone_independent_stream(tmp_path):
     # clone of same offset reproduces the same stream
     c2 = PatchGenerator(cache, (8, 8, 8), 2, seed=1005)
     np.testing.assert_array_equal(xc, c2.next()[0])
+
+
+def test_compact_label_storage_bitwise_equal(tmp_path):
+    """Round-5 VERDICT #6: PatientCache stores raw uint8 BraTS labels
+    (1 B/voxel) instead of the fp32 region one-hot (12 B/voxel); batches
+    must be BITWISE identical across storage modes — augmented numpy path
+    and non-augmented (native fast) path, regions and classes modes."""
+    paths = write_synthetic_h5(str(tmp_path), n_patients=2)
+    for mode in ("regions", "classes"):
+        compact = PatientCache(paths, label_mode=mode, compact=True)
+        legacy = PatientCache(paths, label_mode=mode, compact=False)
+        # compact stores 1 B/voxel raw labels
+        assert compact.records[0]["label_u8"].dtype == np.uint8
+        assert set(np.unique(compact.records[0]["label_u8"])).issubset({0, 1, 2, 4})
+        assert "label" not in compact.records[0]
+        for augment in (False, True):  # False → native fast path if built
+            gc = PatchGenerator(compact, (8, 8, 8), 3, seed=11, augment=augment)
+            gl = PatchGenerator(legacy, (8, 8, 8), 3, seed=11, augment=augment)
+            for _ in range(3):
+                xc, yc = gc.next()
+                xl, yl = gl.next()
+                assert yc.dtype == yl.dtype
+                np.testing.assert_array_equal(xc, xl)
+                np.testing.assert_array_equal(yc, yl)
+
+
+def test_numpy_region_converters_match_jax(tmp_path):
+    from nas_3d_unet_tpu.metrics.dice import (labels_to_class_indices,
+                                              labels_to_class_indices_np,
+                                              labels_to_regions,
+                                              labels_to_regions_np)
+
+    rng = np.random.default_rng(0)
+    labels = rng.choice(np.array([0, 1, 2, 4], np.uint8), size=(6, 5, 4))
+    np.testing.assert_array_equal(
+        labels_to_regions_np(labels),
+        np.asarray(labels_to_regions(jnp.asarray(labels.astype(np.int32)))))
+    np.testing.assert_array_equal(
+        labels_to_class_indices_np(labels),
+        np.asarray(labels_to_class_indices(jnp.asarray(labels.astype(np.int32)))))
