@@ -164,32 +164,54 @@ def bench_search() -> float:
 
 def bench_infer() -> float:
     """configs[1]: whole-volume sliding-window sec/patient on the shipped
-    product path (predict_patient default): device-side stitch + on-device
-    label decode, one uint8 label-volume readback.  Timing includes that
-    readback; the old probs route pulls 75 MB of fp32 buffers through the
-    axon tunnel and measures 5-19 s of rig-transfer variance instead of the
-    framework (PERF_NOTES round-3 "device-side label decode")."""
+    product path (predict_dataset's pipelined loop): device-side stitch +
+    on-device label decode + on-device Dice, with patient i's uint8 label
+    readback/uncrop running on the writer thread WHILE patient i+1 stitches
+    (round-5 overlap, infer/predict.py predict_records).  Timed as the wall
+    of the whole pipelined run over several patients ÷ patients, fenced by
+    the readbacks the run itself performs.  The old probs route pulls 75 MB
+    of fp32 buffers through the axon tunnel and measures 5-19 s of
+    rig-transfer variance instead of the framework (PERF_NOTES round-3
+    "device-side label decode")."""
+    from nas_3d_unet_tpu.infer.predict import predict_records
     from nas_3d_unet_tpu.infer.sliding import SlidingWindowPredictor
     from nas_3d_unet_tpu.models.genotype import default_genotype
     from nas_3d_unet_tpu.models.unet import DerivedNet
-    from nas_3d_unet_tpu.utils.timing import time_fn
 
     net = DerivedNet(genotype=default_genotype(3), in_channels=4, num_classes=3,
                      base_channels=16, depth=3, n_nodes=3, gn_groups=8,
                      norm="group", remat=False, dtype_name="float32", packed=True)
     rng = np.random.default_rng(0)
-    vol = rng.standard_normal((160, 192, 152, 4)).astype(np.float32)
+    shape = (160, 192, 152)
     params = net.init(jax.random.PRNGKey(0),
                       np.zeros((1, 128, 128, 128, 4), np.float32))
     pred = SlidingWindowPredictor(net.apply, params, (128, 128, 128),
                                   overlap=0.5, batch_size=1, num_classes=3)
-    vol_dev = jax.device_put(vol)
 
-    def labels_host(v):
-        return np.asarray(pred.predict_labels(v))   # includes the readback
+    n = 4
+    recs = []
+    for i in range(n):
+        vol = rng.standard_normal((*shape, 4)).astype(np.float32)
+        lab = (rng.integers(0, 3, shape) * 2).astype(np.uint8)  # {0,2,4}
+        recs.append({
+            "patient": f"bench_{i}",
+            "image": vol,
+            "image_dev": jax.device_put(vol),
+            "label_dev": jax.device_put(lab),
+            "crop_start": np.zeros(3, np.int64),
+            "orig_shape": np.asarray(shape, np.int64),
+        })
 
     def run():
-        dt, _ = time_fn(labels_host, vol_dev, iters=3, warmup=1)
+        # compile + warm the FULL per-patient path (stitch, decode, dice)
+        # — one pipelined patient, fenced by its own readbacks
+        predict_records(pred, [(recs[0]["patient"], recs[0])],
+                        out_dir=None, verbose=False)
+        t0 = time.perf_counter()
+        out = predict_records(pred, [(r["patient"], r) for r in recs],
+                              out_dir=None, verbose=False)
+        dt = (time.perf_counter() - t0) / n
+        assert len(out) == n
         return dt
 
     return _with_retries(run, "infer_volume")
