@@ -71,6 +71,10 @@ def make_mesh(data_parallel: int = -1, spatial_parallel: int = 1,
     """Mesh over the available devices: ('data', 'spatial').
 
     data_parallel == -1 → use every device not taken by the spatial axis.
+
+    Multi-process, the returned mesh's collective cliques are warmed up in
+    a fixed order before first use (`warmup_collectives`) — required for
+    deterministic gloo context numbering; free single-process.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
@@ -83,7 +87,57 @@ def make_mesh(data_parallel: int = -1, spatial_parallel: int = 1,
         raise ValueError(
             f"data_parallel*spatial_parallel = {need} exceeds {n} devices")
     arr = np.asarray(devices[:need]).reshape(data_parallel, spatial_parallel)
-    return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
+    mesh = Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
+    warmup_collectives(mesh)
+    return mesh
+
+
+def warmup_collectives(mesh: Mesh) -> None:
+    """Fixed-order collective-clique warm-up for multi-process meshes.
+
+    Each gloo context is numbered by a PER-PROCESS counter keyed into the
+    coordination KV store.  A compiled step with several collective cliques
+    (e.g. per-spatial-shard gradient all-reduces + spatial halo permutes)
+    creates them in execution-dependent order, the counters diverge between
+    processes, and context init deadlocks (observed round 4,
+    tests/multihost_worker.py).  Running one trivial collective PER CLIQUE
+    the real step will use — in the same order on every process, each fenced
+    with an addressable-shard readback before the next is dispatched — makes
+    the numbering deterministic; after this, cross-process data×spatial
+    train steps run (probed: experiments/r5_mh_spatial_probe.py PROBE_OK,
+    pinned by tests/test_multihost.py::test_two_process_spatial_train_step).
+
+    A welcome side effect: the first warm-up doubles as a process BARRIER,
+    so the processes enter any long jit compile that follows in lockstep —
+    without it the first real collective can hit gloo's fixed 30 s
+    context-init deadline asymmetrically (DEADLINE_EXCEEDED flakes).
+
+    No-op single-process (the sharded sum compiles in <1 s and only runs
+    multi-process)."""
+    if jax.process_count() == 1:
+        return
+    import jax.numpy as jnp
+
+    def fence(a):
+        # outputs sharded over a cross-process axis span non-addressable
+        # devices, so fence via this process's addressable shards only
+        for s in a.addressable_shards:
+            np.asarray(s.data)
+
+    d, s = mesh.shape[DATA_AXIS], mesh.shape[SPATIAL_AXIS]
+    x = jax.device_put(np.arange(d * s, dtype=np.float32).reshape(d, s),
+                       NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS)))
+    # clique family 1: all-reduce over data (one clique per spatial shard)
+    fence(jax.jit(lambda a: a.sum(axis=0, keepdims=True),
+                  out_shardings=NamedSharding(mesh, P(None, SPATIAL_AXIS)))(x))
+    if s > 1:
+        # clique family 2: all-reduce over spatial (loss/stats reductions)
+        fence(jax.jit(lambda a: a.sum(axis=1, keepdims=True),
+                      out_shardings=NamedSharding(mesh, P(DATA_AXIS, None)))(x))
+        # clique family 3: collective-permute along spatial (conv halos)
+        fence(jax.jit(
+            lambda a: jnp.roll(a, 1, axis=1),
+            out_shardings=NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS)))(x))
 
 
 def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:

@@ -172,3 +172,43 @@ def test_two_process_trainer_epochs(tmp_path):
     assert any(ckpt_dirs[0].iterdir()), "process 0 must write its checkpoint"
     assert not ckpt_dirs[1].exists() or not any(ckpt_dirs[1].iterdir()), \
         "process 1 must not write checkpoints"
+
+
+@pytest.mark.slow
+def test_two_process_spatial_train_step(tmp_path):
+    """Round-5 prescription #5: data×spatial sharding must work ACROSS
+    processes.  Round 4's blocker was non-deterministic gloo context
+    numbering with several collective cliques per step; the fix is
+    `parallel/mesh.py:warmup_collectives` (fixed-order, individually-fenced
+    warm-up collectives, run by make_mesh on every multi-process mesh).
+    The worker runs one derived train step on a 2×2 data×spatial mesh over
+    two processes in BOTH orientations — halos intra-process (deployment
+    shape) and halos across the process boundary — and both must produce
+    identical losses and identical updated replicated parameter bytes on
+    the two hosts."""
+    worker = os.path.join(_HERE, "multihost_spatial_worker.py")
+    ckpt_dirs = [tmp_path / "ckpt0", tmp_path / "ckpt1"]
+    results = _launch_workers(tmp_path, ckpt_dirs, worker)
+    if any(rc != 0 for rc, _, _ in results) and \
+            any("DEADLINE_EXCEEDED" in err for _, _, err in results):
+        results = _launch_workers(tmp_path, ckpt_dirs, worker)
+
+    fails = "\n".join(
+        f"--- worker {pid} rc={rc}\n" + "\n".join(err.splitlines()[-25:])
+        for pid, (rc, _, err) in enumerate(results) if rc != 0)
+    assert not fails, fails
+    outs = [json.loads(out.splitlines()[-1]) for _, out, _ in results]
+
+    for orient in ("halo_local", "halo_cross"):
+        a, b = outs[0][orient], outs[1][orient]
+        assert a["finite"] and b["finite"], (orient, a, b)
+        # identical replicated loss and updated-param bytes on both hosts
+        assert a["loss"] == b["loss"], (orient, a["loss"], b["loss"])
+        assert a["params_md5"] == b["params_md5"], orient
+
+    # same data + same init ⇒ the two mesh orientations must agree with
+    # each other too (single-process spatial equality is pinned exactly by
+    # tests/test_parallel.py; this extends it across the process boundary)
+    assert outs[0]["halo_local"]["loss"] == outs[0]["halo_cross"]["loss"]
+    assert (outs[0]["halo_local"]["params_md5"]
+            == outs[0]["halo_cross"]["params_md5"])
