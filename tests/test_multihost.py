@@ -175,6 +175,54 @@ def test_two_process_trainer_epochs(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_searcher_epochs(tmp_path):
+    """The Searcher's epoch loop across processes (companion to the Trainer
+    epoch test): both bilevel phases consume GLOBAL batches, so after two
+    real `Searcher.search` epochs (1 warmup + 1 bilevel, incl. the frozen-α
+    eval pass) the replicated α AND params must be byte-identical on both
+    hosts, the parsed genotype identical, and genotype.json / checkpoints
+    written by process 0 only."""
+    sys.path.insert(0, os.path.dirname(_HERE))
+    from tests.helpers import write_synthetic_h5
+
+    data_dir = tmp_path / "data"
+    ckpt_dirs = [tmp_path / "ckpt0", tmp_path / "ckpt1"]
+    write_synthetic_h5(str(data_dir), n_patients=4)
+
+    worker = os.path.join(_HERE, "multihost_searcher_worker.py")
+    results = _launch_workers(data_dir, ckpt_dirs, worker)
+    if any(rc != 0 for rc, _, _ in results) and \
+            any("DEADLINE_EXCEEDED" in err for _, _, err in results):
+        import shutil
+        for d in ckpt_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        results = _launch_workers(data_dir, ckpt_dirs, worker)
+
+    fails = "\n".join(
+        f"--- worker {pid} rc={rc}\n" + "\n".join(err.splitlines()[-25:])
+        for pid, (rc, _, err) in enumerate(results) if rc != 0)
+    assert not fails, fails
+    outs = [json.loads(out.splitlines()[-1]) for _, out, _ in results]
+
+    # replicated search state: identical α and param bytes on both hosts
+    assert outs[0]["alphas_md5"] == outs[1]["alphas_md5"]
+    assert outs[0]["params_md5"] == outs[1]["params_md5"]
+    # the product — the parsed genotype — is identical
+    assert outs[0]["genotype"] == outs[1]["genotype"]
+    assert outs[0]["final_step"] == outs[1]["final_step"] == 4
+
+    # disjoint per-host patient shards covering the dataset
+    shard0, shard1 = set(outs[0]["host_shard"]), set(outs[1]["host_shard"])
+    assert shard0.isdisjoint(shard1)
+    assert len(shard0 | shard1) == 4
+
+    # checkpoint + genotype.json written by process 0 ONLY
+    assert (ckpt_dirs[0] / "genotype.json").exists()
+    assert not ckpt_dirs[1].exists() or not any(ckpt_dirs[1].iterdir()), \
+        "process 1 must not write checkpoints or genotype.json"
+
+
+@pytest.mark.slow
 def test_two_process_spatial_train_step(tmp_path):
     """Round-5 prescription #5: data×spatial sharding must work ACROSS
     processes.  Round 4's blocker was non-deterministic gloo context
