@@ -188,7 +188,10 @@ def bench_infer() -> float:
     pred = SlidingWindowPredictor(net.apply, params, (128, 128, 128),
                                   overlap=0.5, batch_size=1, num_classes=3)
 
-    n = 4
+    # 4 keeps round-over-round comparability; the pipeline's fill/drain is
+    # amortized over n patients, so BENCH_INFER_PATIENTS=12 approaches the
+    # steady-state per-patient wall (PERF_NOTES round-5 infer note)
+    n = int(os.environ.get("BENCH_INFER_PATIENTS", "4"))
     recs = []
     for i in range(n):
         vol = rng.standard_normal((*shape, 4)).astype(np.float32)
