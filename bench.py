@@ -120,10 +120,14 @@ def bench_train() -> float:
     return batch / dt
 
 
-def bench_search() -> float:
+def bench_search(pc_k: int = 1) -> float:
     """configs[3]: bilevel search step seconds at 128³ (packed + merged,
     remat fully off — fits HBM and is the shipped default since round 3:
-    0.934 s/step vs 1.305 with cell remat, PERF_NOTES round 3)."""
+    0.934 s/step vs 1.305 with cell remat, PERF_NOTES round 3).
+
+    pc_k > 1 measures the opt-in partial-channel search
+    (search.partial_channels, PERF_NOTES round-5) — reported as its own
+    stderr metric under BENCH_PC=1, never as the default-semantics one."""
     from nas_3d_unet_tpu.models.genotype import init_alphas
     from nas_3d_unet_tpu.models.unet import SuperNet, arch_weights_from_alphas
     from nas_3d_unet_tpu.search.bilevel import SearchState, make_search_step
@@ -136,7 +140,7 @@ def bench_search() -> float:
     net = SuperNet(in_channels=4, num_classes=3, base_channels=16, depth=3,
                    n_nodes=3, gn_groups=8, norm="group", remat=False,
                    remat_edges=False, dtype_name="bfloat16", packed=True,
-                   unpack_head=False)
+                   unpack_head=False, pc_k=pc_k)
     w_tx = optax.adamw(3e-4, weight_decay=1e-4)
     a_tx = optax.adamw(3e-4, weight_decay=1e-3)
     step = make_search_step(net.apply, w_tx, a_tx,
@@ -233,6 +237,18 @@ def main():
                   file=sys.stderr)
         except Exception as e:
             print(json.dumps({"event": "bench_error", "label": "search",
+                              "error": str(e)[:300]}), file=sys.stderr)
+    # opt-in: the partial-channel search step (search.partial_channels=K,
+    # NOT the reference semantics — kept off the default lines)
+    if os.environ.get("BENCH_PC", "0") == "1":
+        k = int(os.environ.get("BENCH_PC_K", "2"))
+        try:
+            dt = bench_search(pc_k=k)
+            print(json.dumps({"metric": f"search_pc{k}_step_seconds_128c_bf16",
+                              "value": round(dt, 4), "unit": "s/step"}),
+                  file=sys.stderr)
+        except Exception as e:
+            print(json.dumps({"event": "bench_error", "label": f"search_pc{k}",
                               "error": str(e)[:300]}), file=sys.stderr)
     if os.environ.get("BENCH_INFER", "1") == "1":
         try:

@@ -37,12 +37,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.packed import PX, px_concat
+from ..ops.packed import PX, packed_resize2x, px_concat, standard_layout
 from ..ops.primitives import (
     DOWN_OPS,
     NORMAL_OPS,
     UP_OPS,
     ConvNormAct,
+    Pool,
     _gn_groups_for,
     make_op,
 )
@@ -80,6 +81,67 @@ _NONPARAM = {"identity", "avg_pool3", "max_pool3", "down_avg_pool",
 Array = jax.Array
 
 
+# ---------------------------------------------------------------------------
+# Partial-channel (PC-DARTS-style) candidate evaluation — search-time only.
+#
+# With pc_k = K > 1, each supernet edge sends only C/K channels through the
+# candidate ops; the remaining (K−1)/K bypass (resolution-matched on
+# down/up edges) and a channel shuffle remixes groups so successive edges
+# sample different channels.  The bilevel step is aggregate-bandwidth-bound
+# (PERF_NOTES round-5 closure), so streamed bytes — and step time — drop
+# roughly ∝ 1/K.  K = 1 is exact reference DARTS semantics (every candidate
+# scored on every channel).  Edge selection still parses top-2 edges by α
+# (no PC-DARTS edge-normalization β); quality is gated by the same
+# signal-vs-noise contrast harness as the full-channel search.
+# ---------------------------------------------------------------------------
+
+
+def _pc_shuffle(t, k: int):
+    """PC-DARTS channel shuffle over k groups: out[i·k+g] = in[g·(c/k)+i].
+
+    Packed: a ZERO-cost layout-metadata permutation (PX.permute_channels) —
+    downstream packed ops consume arbitrary layouts via trace-time weight
+    scatters.  Unpacked: reshape-transpose, fused by XLA into the consumer."""
+    if isinstance(t, PX):
+        c = t.layout.c
+        cp = c // k
+        perm = tuple((j % k) * cp + j // k for j in range(c))
+        return t.permute_channels(perm)
+    *lead, c = t.shape
+    cp = c // k
+    return t.reshape(*lead, k, cp).swapaxes(-2, -1).reshape(*lead, c)
+
+
+def _pc_upsample2x(x):
+    """Parameter-free trilinear 2× upsample (UpSampleConv's front half)."""
+    if isinstance(x, PX):
+        std = x.to_standard()
+        y = packed_resize2x(std.data, std.layout)
+        return PX(y, standard_layout(2 * std.layout.r, std.layout.c),
+                  2 * std.w_in)
+    b, d, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * d, 2 * h, 2 * w, c), method="trilinear")
+
+
+def _pc_bypass(xb, op_names: Sequence[str]):
+    """Resolution-match the bypassed channels to the candidate outputs:
+    stride-2 max pool on DOWN edges (PC-DARTS' reduction-cell choice,
+    realized with the registry's pool primitive), parameter-free 2×
+    upsample on UP edges, identity on NORMAL edges."""
+    if any(n.startswith("down_") for n in op_names):
+        return Pool("max", 2)(xb)
+    if any(n.startswith("up_") for n in op_names):
+        return _pc_upsample2x(xb)
+    return xb
+
+
+def _pc_split(x, cp: int, c: int):
+    """(active C/K slice, bypass slice)."""
+    if isinstance(x, PX):
+        return x.slice_channels(0, cp), x.slice_channels(cp, c - cp)
+    return x[..., :cp], x[..., cp:]
+
+
 class _SourceOps(nn.Module):
     """All outgoing supernet edges of one source state, source-major.
 
@@ -110,12 +172,22 @@ class _SourceOps(nn.Module):
     gn_groups: int = 8
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    pc_k: int = 1             # partial-channel fraction (1 = full channels)
 
     @nn.compact
     def __call__(self, x: Array, weights: Array) -> tuple:
         """weights: (k, n_ops) softmax(α) rows, one per outgoing edge.
-        Returns the k weighted-sum edge contributions, in edge order."""
+        Returns the k edge contributions, in edge order.  With pc_k > 1 each
+        contribution is shuffle(concat(Σ_o w_o·op_o(x_active), bypass)) —
+        the bypass is computed ONCE per source (it is edge-independent)."""
         k, c = self.n_edges, self.features
+        K = self.pc_k
+        cp = c // K if K > 1 else c
+        if K > 1:
+            xa, xb = _pc_split(x, cp, c)
+            xb = _pc_bypass(xb, self.op_names)
+        else:
+            xa = x
         outs: list = [None] * k
 
         def acc(e: int, term: Array) -> None:
@@ -129,22 +201,24 @@ class _SourceOps(nn.Module):
             if op_name == "none":
                 continue
             if op_name in _NONPARAM:
-                y = op(op_name, c, self.gn_groups)(x)
+                y = op(op_name, cp, self.gn_groups)(xa)
                 for e in range(k):
                     acc(e, weights[e, o].astype(y.dtype) * y)
             elif op_name in _MERGEABLE:
-                g_eff = (_gn_groups_for(c, self.gn_groups)
+                g_eff = (_gn_groups_for(cp, self.gn_groups)
                          if self.norm != "none" else self.gn_groups)
-                wide = op(op_name, k * c, k * g_eff)(x)
+                wide = op(op_name, k * cp, k * g_eff)(xa)
                 for e in range(k):
-                    sl = (wide.slice_channels(e * c, c)
+                    sl = (wide.slice_channels(e * cp, cp)
                           if isinstance(wide, PX)
-                          else wide[..., e * c:(e + 1) * c])
+                          else wide[..., e * cp:(e + 1) * cp])
                     acc(e, weights[e, o].astype(sl.dtype) * sl)
             else:  # per-edge parameters (separable convs)
                 for e in range(k):
-                    y = op(op_name, c, self.gn_groups)(x)
+                    y = op(op_name, cp, self.gn_groups)(xa)
                     acc(e, weights[e, o].astype(y.dtype) * y)
+        if K > 1:
+            outs = [_pc_shuffle(_cat([t, xb]), K) for t in outs]
         return tuple(outs)
 
 
@@ -157,6 +231,7 @@ class MixedOp(nn.Module):
     gn_groups: int = 8
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    pc_k: int = 1             # partial-channel fraction (1 = full channels)
 
     @nn.compact
     def __call__(self, x: Array, weights: Array) -> Array:
@@ -165,12 +240,20 @@ class MixedOp(nn.Module):
         # op's epilogue instead of materializing an (O, B, D, H, W, C)
         # buffer — the supernet's dominant activation-memory term
         # (SURVEY.md §7 hard-part 2).
+        K = self.pc_k
+        c = self.features
+        cp = c // K if K > 1 else c
+        if K > 1:
+            x, xb = _pc_split(x, cp, c)
+            xb = _pc_bypass(xb, self.op_names)
         acc = None
         for o, name in enumerate(self.op_names):
-            out = make_op(name, self.features, self.norm, self.gn_groups,
+            out = make_op(name, cp, self.norm, self.gn_groups,
                           self.dtype, self.use_pallas)(x)
             term = weights[o].astype(out.dtype) * out
             acc = term if acc is None else acc + term
+        if K > 1:
+            return _pc_shuffle(_cat([acc, xb]), K)
         return acc
 
 
@@ -183,6 +266,7 @@ class _CellBase(nn.Module):
     use_pallas: bool = False
     merge_ops: bool = False
     remat_edges: bool = False  # supernet: remat each MixedOp (peak-memory cap)
+    pc_k: int = 1              # supernet partial-channel fraction (search only)
 
     def _pre(self, x: Array, stride: int = 1) -> Array:
         """1³ conv projection of a cell input to `features` channels."""
@@ -199,7 +283,7 @@ class _CellBase(nn.Module):
         policy = None if self.remat_edges else jax.checkpoint_policies.everything_saveable
         Wrapped = nn.remat(MixedOp, policy=policy)
         return Wrapped(self.features, ops, self.norm, self.gn_groups, self.dtype,
-                       self.use_pallas)
+                       self.use_pallas, self.pc_k)
 
     def _fixed(self, op_name: str) -> nn.Module:
         return make_op(op_name, self.features, self.norm, self.gn_groups,
@@ -219,7 +303,7 @@ class _CellBase(nn.Module):
         policy = None if self.remat_edges else jax.checkpoint_policies.everything_saveable
         Wrapped = nn.remat(_SourceOps, policy=policy)
         mod = Wrapped(op_names, self.features, len(weight_rows), self.norm,
-                      self.gn_groups, self.dtype, self.use_pallas,
+                      self.gn_groups, self.dtype, self.use_pallas, self.pc_k,
                       name=f"src_{src_name}")
         return list(mod(x, jnp.stack(weight_rows)))
 

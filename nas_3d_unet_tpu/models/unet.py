@@ -116,10 +116,21 @@ class _UNetBase(nn.Module):
 
 
 class SuperNet(_UNetBase):
-    """DARTS supernet: forward takes architecture weights (softmaxed α)."""
+    """DARTS supernet: forward takes architecture weights (softmaxed α).
+
+    pc_k > 1 enables PC-DARTS-style partial-channel candidate evaluation
+    (models/cell.py module docstring): C/pc_k channels per edge through the
+    candidate ops, the rest bypassed + channel-shuffled.  Search-time only —
+    derived nets are rebuilt from the genotype at full channels."""
+
+    pc_k: int = 1
 
     @nn.compact
     def __call__(self, x: Array, arch_weights: Dict[str, Array]) -> Array:
+        if self.pc_k > 1 and self.base_channels % self.pc_k:
+            raise ValueError(
+                f"partial_channels={self.pc_k} must divide "
+                f"base_channels={self.base_channels}")
         w = arch_weights
         x = x.astype(self.compute_dtype)
         if self.packed:
@@ -134,7 +145,7 @@ class SuperNet(_UNetBase):
         s_pp, s_p = stem, stem
         for level in range(1, self.depth + 1):
             out = Down(remat_edges=redges, merge_ops=self.merge_ops,
-                       **self._cell_kwargs(level))(
+                       pc_k=self.pc_k, **self._cell_kwargs(level))(
                 s_pp, s_p, w["down_in"], w["down_mid"])
             s_pp, s_p = s_p, out
             feats.append(out)
@@ -142,7 +153,7 @@ class SuperNet(_UNetBase):
         below = feats[-1]
         for level in range(self.depth - 1, -1, -1):
             below = Up(remat_edges=redges, merge_ops=self.merge_ops,
-                       **self._cell_kwargs(level))(
+                       pc_k=self.pc_k, **self._cell_kwargs(level))(
                 feats[level], below, w["up_skip"], w["up_below"], w["up_mid"])
 
         return self._head(below)

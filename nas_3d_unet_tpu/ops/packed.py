@@ -1317,6 +1317,21 @@ class PX:
             return PX(self.data[..., int(lo):int(hi) + 1], std, self.w_in)
         return PX(self.data[..., flat], std, self.w_in)
 
+    def permute_channels(self, perm: Sequence[int]) -> "PX":
+        """Logical channel permutation: out channel j = in channel perm[j].
+
+        ZERO data movement — only the layout's (δ, channel) → lane map is
+        permuted; downstream packed ops consume arbitrary layouts through
+        their trace-time weight scatters / shift matrices.  (This makes the
+        PC-DARTS channel shuffle free in packed execution; an unpacked
+        shuffle is a real gather/transpose of the tensor.)"""
+        lay = self.layout
+        assert len(perm) == lay.c, (len(perm), lay.c)
+        idx = lay.index()[:, list(perm)]              # (r, c) column permute
+        new = PackedLayout(r=lay.r, c=lay.c,
+                           idx=tuple(map(tuple, idx.tolist())))
+        return PX(self.data, new, self.w_in)
+
 
 def px_concat(parts: Sequence[PX]) -> PX:
     """Concatenate packed activations along logical channels."""

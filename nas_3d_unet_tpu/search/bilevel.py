@@ -192,10 +192,16 @@ class Searcher:
 
     def __init__(self, supernet, cfg, data_paths, log_path: Optional[str] = None,
                  device_augment: bool = True, sharding=None):
-        self.net = supernet
         self.cfg = cfg
         self.sharding = sharding
         sc, dc = cfg.search, cfg.data
+        # partial-channel search (search.partial_channels > 1): clone the
+        # supernet with pc_k set so EVERY consumer below (step, warmup,
+        # eval, init) sees the same architecture/param tree
+        pc_k = int(getattr(sc, "partial_channels", 1) or 1)
+        if pc_k > 1:
+            supernet = supernet.clone(pc_k=pc_k)
+        self.net = supernet
         # flatten: one fused update over the ~100-leaf supernet param tree
         # instead of per-leaf tiny ops (see train.loop.make_optimizer)
         self.w_tx = optax.flatten(

@@ -109,6 +109,15 @@ class SearchConfig:
     # grads are NOT guaranteed — measure before enabling.
     augment_val: bool = False
     warmup_epochs: int = 5                    # epochs of w-only updates before alpha
+    # PC-DARTS-style partial-channel candidate evaluation: only C/K of each
+    # edge's channels run through the candidate ops; the rest bypass
+    # (resolution-matched on down/up edges) and a channel shuffle remixes —
+    # FREE in packed execution (a layout-metadata permutation).  1 = exact
+    # reference DARTS semantics.  The bilevel step is bandwidth-bound
+    # (PERF_NOTES round-5), so K>1 cuts step time roughly ∝ 1/K; edge
+    # parsing stays top-2-by-alpha (no edge-normalization betas).  Must
+    # divide model.base_channels.
+    partial_channels: int = 1
     # 0 = inherit data.batch_size.  The bilevel step is the HBM-critical
     # config (remat-off supernet holds TWO batches' residuals); the shipped
     # config pins search to batch 1 while derived training runs b2+mb1.
