@@ -60,8 +60,11 @@ def bench_k(pc_k: int, patch: int, batch: int, remat: bool,
     (x_tr, y_tr), (x_val, y_val) = xs
 
     alphas = init_alphas(jax.random.PRNGKey(0), 3)
-    params = net.init(jax.random.PRNGKey(1), jnp.zeros_like(x_tr),
-                      arch_weights_from_alphas(alphas))
+    # jit the init: eager init compiles hundreds of one-op modules through
+    # the axon remote compiler one HTTP round-trip at a time (~30+ min for
+    # a cold pc graph); one jitted init graph compiles in minutes
+    params = jax.jit(net.init)(jax.random.PRNGKey(1), jnp.zeros_like(x_tr),
+                               arch_weights_from_alphas(alphas))
     n_params = sum(int(np.prod(l.shape))
                    for l in jax.tree_util.tree_leaves(params))
     state = SearchState(params=params, w_opt=w_tx.init(params), alphas=alphas,
